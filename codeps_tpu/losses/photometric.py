@@ -1,0 +1,183 @@
+"""Photometric (view-reconstruction) losses.
+
+Parity targets:
+  - SSIMLoss                (/root/reference/algos/depth.py:110-155)
+  - ReconstructionLoss      (/root/reference/algos/depth.py:176-326)
+
+Design notes (TPU-first):
+  - One traced function per resolution; the multi-scale pyramid unrolls at
+    trace time over static scale sizes, so XLA fuses the downscale + warp +
+    SSIM + automask chain per scale.
+  - Camera intrinsics are traced (B, 4) arrays; scale-space cameras are a
+    vector multiply, not Python objects.
+  - The automask tie-break noise uses an explicit PRNG key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.geometry.camera import scale_intrinsics_to_size
+from codeps_tpu.geometry.warp import warp_image
+from codeps_tpu.ops.resize import resize_bilinear, resize_nearest
+
+_SSIM_C1 = 0.01 ** 2
+_SSIM_C2 = 0.03 ** 2
+
+
+def _avg_pool_3x3_reflect(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 average pool after 1px reflection pad (NHWC).
+
+    Parity: nn.ReflectionPad2d(1) + nn.AvgPool2d(3, 1)
+    (/root/reference/algos/depth.py:118-123,141-149).
+    """
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding="VALID")
+    return out / 9.0
+
+
+def ssim(src_img: jnp.ndarray, target_img: jnp.ndarray) -> jnp.ndarray:
+    """SSIM-based dissimilarity: clamp((1 - SSIM)/2, 0, 1), per pixel/channel.
+
+    Parity: SSIMLoss.__call__ (/root/reference/algos/depth.py:128-155).
+    """
+    mu_x = _avg_pool_3x3_reflect(src_img)
+    mu_y = _avg_pool_3x3_reflect(target_img)
+
+    sigma_x = _avg_pool_3x3_reflect(src_img * src_img) - mu_x * mu_x
+    sigma_y = _avg_pool_3x3_reflect(target_img * target_img) - mu_y * mu_y
+    sigma_xy = _avg_pool_3x3_reflect(src_img * target_img) - mu_x * mu_y
+
+    ssim_n = (2.0 * mu_x * mu_y + _SSIM_C1) * (2.0 * sigma_xy + _SSIM_C2)
+    ssim_d = (mu_x * mu_x + mu_y * mu_y + _SSIM_C1) * (sigma_x + sigma_y + _SSIM_C2)
+    return jnp.clip((1.0 - ssim_n / ssim_d) / 2.0, 0.0, 1.0)
+
+
+def photometric_error(pred_img: jnp.ndarray, target_img: jnp.ndarray,
+                      alpha: float = 0.85) -> jnp.ndarray:
+    """alpha*SSIM + (1-alpha)*L1, channel-averaged -> (B, H, W, 1).
+
+    Parity: ReconstructionLoss._compute_loss
+    (/root/reference/algos/depth.py:221-237).
+    """
+    l1 = jnp.mean(jnp.abs(pred_img - target_img), axis=-1, keepdims=True)
+    ssim_term = jnp.mean(ssim(pred_img, target_img), axis=-1, keepdims=True)
+    return alpha * ssim_term + (1.0 - alpha) * l1
+
+
+def reconstruction_loss(
+    rng: jax.Array,
+    intrinsics: jnp.ndarray,
+    images: Sequence[jnp.ndarray],
+    depth_map: jnp.ndarray,
+    poses: Sequence[jnp.ndarray],
+    object_motion_maps: Sequence[jnp.ndarray] | None = None,
+    num_scales: int = 5,
+    alpha: float = 0.85,
+    identity_noise_scale: float = 1e-5,
+) -> jnp.ndarray:
+    """Multi-scale photometric loss with Monodepth2 auto-masking.
+
+    Parity: ReconstructionLoss.__call__
+    (/root/reference/algos/depth.py:239-326). The final full-resolution depth
+    is *downscaled* to each pyramid level (not per-scale predictions).
+
+    Args:
+      rng: PRNG key for the automask tie-break noise (depth.py:316-318).
+      intrinsics: (B, 4) at the input resolution.
+      images: triplet [t, t-1, t+1], each (B, H, W, 3).
+      depth_map: (B, H, W, 1) depth of frame t.
+      poses: [T(t->t-1), T(t->t+1)], each (B, 4, 4).
+      object_motion_maps: optional pair of (B, H, W, 3) scene-flow maps.
+
+    Returns:
+      scalar loss.
+    """
+    _, height, width, _ = images[0].shape
+    target = images[0]
+
+    total = jnp.zeros((), dtype=jnp.float32)
+    for s in range(num_scales):
+        scaled_h, scaled_w = height // (2 ** s), width // (2 ** s)
+        intr_s = scale_intrinsics_to_size(intrinsics, (height, width),
+                                          (scaled_h, scaled_w))
+        target_s = resize_bilinear(target, (scaled_h, scaled_w))
+        depth_s = resize_bilinear(depth_map, (scaled_h, scaled_w))
+
+        recon_losses = []
+        for i, frame in enumerate(images[1:]):
+            frame_s = resize_bilinear(frame, (scaled_h, scaled_w))
+            motion_s = None
+            if object_motion_maps is not None:
+                motion_s = resize_bilinear(object_motion_maps[i],
+                                           (scaled_h, scaled_w))
+            pred = warp_image(intr_s, frame_s, depth_s, poses[i],
+                              object_motion=motion_s)
+            recon_losses.append(photometric_error(pred, target_s, alpha))
+
+        identity_losses = []
+        for frame in images[1:]:
+            frame_s = resize_bilinear(frame, (scaled_h, scaled_w))
+            identity_losses.append(photometric_error(frame_s, target_s, alpha))
+        identity = jnp.concatenate(identity_losses, axis=-1)
+        if identity_noise_scale:
+            rng, sub = jax.random.split(rng)
+            identity = identity + jax.random.normal(
+                sub, identity.shape, identity.dtype) * identity_noise_scale
+
+        combined = jnp.concatenate(
+            [jnp.concatenate(recon_losses, axis=-1), identity], axis=-1)
+        per_pixel = jnp.min(combined, axis=-1)
+        total = total + jnp.mean(per_pixel) / (2 ** s)
+
+    return total / num_scales
+
+
+def reconstruction_loss_semantic(
+    intrinsics: jnp.ndarray,
+    semantic_masks: Sequence[jnp.ndarray],
+    depth_map: jnp.ndarray,
+    poses: Sequence[jnp.ndarray],
+    num_scales: int = 5,
+    alpha: float = 0.85,
+) -> jnp.ndarray:
+    """Semantic-mask variant of the reconstruction loss (no automask).
+
+    Parity: the ``semantic_mask is not None`` branch of
+    ReconstructionLoss.__call__ (/root/reference/algos/depth.py:284-308):
+    masks are nearest-downscaled, warped with nearest sampling, and the
+    photometric error is applied to the float class maps directly.
+    """
+    _, height, width, _ = depth_map.shape
+    target = semantic_masks[0].astype(jnp.float32)
+    if target.ndim == 3:
+        target = target[..., None]
+
+    total = jnp.zeros((), dtype=jnp.float32)
+    for s in range(num_scales):
+        scaled_h, scaled_w = height // (2 ** s), width // (2 ** s)
+        intr_s = scale_intrinsics_to_size(intrinsics, (height, width),
+                                          (scaled_h, scaled_w))
+        target_s = resize_nearest(target, (scaled_h, scaled_w))
+        depth_s = resize_bilinear(depth_map, (scaled_h, scaled_w))
+
+        losses = []
+        for i, frame in enumerate(semantic_masks[1:]):
+            frame_f = frame.astype(jnp.float32)
+            if frame_f.ndim == 3:
+                frame_f = frame_f[..., None]
+            frame_s = resize_nearest(frame_f, (scaled_h, scaled_w))
+            pred = warp_image(intr_s, frame_s, depth_s, poses[i],
+                              interp_mode="nearest")
+            losses.append(photometric_error(pred, target_s, alpha))
+        per_pixel = jnp.concatenate(losses, axis=-1)
+        total = total + jnp.mean(per_pixel) / (2 ** s)
+
+    return total / num_scales

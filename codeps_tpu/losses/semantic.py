@@ -1,0 +1,163 @@
+"""Semantic segmentation losses.
+
+Parity targets:
+  - SemanticLoss (hard-pixel-mining CE)
+    (/root/reference/algos/semantic_seg.py:15-67)
+  - SemanticConsistencyLoss (/root/reference/algos/semantic_seg.py:70-144)
+
+Behavioral quirk preserved on purpose: the reference's SemanticHead outputs
+*softmax probabilities* (models/semantic_head.py:47,74) and feeds them into
+``nn.CrossEntropyLoss``, which applies log_softmax again. We therefore apply
+log_softmax to whatever "logits" come in, matching CE(softmax(x)) exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.geometry.warp import warp_image
+
+
+def cross_entropy_per_pixel(
+    prediction: jnp.ndarray,
+    target: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """torch-style CE with reduction='none'. NHWC prediction, (B, H, W) target.
+
+    Ignored pixels contribute exactly 0 (torch semantics).
+    """
+    logp = jax.nn.log_softmax(prediction, axis=-1)
+    valid = target != ignore_index
+    safe_target = jnp.where(valid, target, 0).astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, safe_target[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        nll = nll * class_weights[safe_target]
+    return jnp.where(valid, nll, 0.0)
+
+
+def semantic_loss(
+    prediction: jnp.ndarray,
+    target: jnp.ndarray,
+    pixel_weights: jnp.ndarray,
+    class_weights: Sequence[float] | None = None,
+    ignore_labels: Sequence[int] | None = None,
+    top_k_percent_pixels: float = 1.0,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Hard-pixel-mining cross entropy.
+
+    Parity: SemanticLoss.__call__ (/root/reference/algos/semantic_seg.py:45-67):
+    optional label ignoring (targets remapped to ignore_index and prediction
+    channels dropped), per-pixel weighting, then top-k selection over the
+    flattened batch before the mean.
+
+    Args:
+      prediction: (B, H, W, C) softmax probabilities from the semantic head.
+      target: (B, H, W) int labels.
+      pixel_weights: (B, H, W).
+      ignore_labels: static list of class channels to drop entirely.
+    """
+    if ignore_labels:
+        for ignore_label in ignore_labels:
+            target = jnp.where(target == ignore_label, ignore_index, target)
+        preserved = [c for c in range(prediction.shape[-1])
+                     if c not in ignore_labels]
+        # The reference drops prediction channels but does NOT renumber the
+        # remaining targets (semantic_seg.py:50-57) — labels above a dropped
+        # channel address the compacted tensor. Mirrored exactly.
+        prediction = prediction[..., jnp.asarray(preserved)]
+        if class_weights is not None:
+            class_weights = [w for label, w in enumerate(class_weights)
+                             if label not in ignore_labels]
+
+    weights_arr = None
+    if class_weights is not None:
+        weights_arr = jnp.asarray(class_weights, dtype=prediction.dtype)
+
+    loss = cross_entropy_per_pixel(prediction, target, weights_arr,
+                                   ignore_index)
+    loss = loss * pixel_weights
+
+    if top_k_percent_pixels < 1.0:
+        flat = loss.reshape(-1)
+        k = int(top_k_percent_pixels * flat.shape[0])
+        top_vals, _ = jax.lax.top_k(flat, k)
+        return jnp.mean(top_vals)
+    return jnp.mean(loss)
+
+
+def semantic_consistency_loss(
+    rng: jax.Array,
+    intrinsics: jnp.ndarray,
+    preds_probs: Sequence[jnp.ndarray],
+    images: Sequence[jnp.ndarray],
+    depth_map: jnp.ndarray,
+    poses: Sequence[jnp.ndarray],
+    object_motion_maps: Sequence[jnp.ndarray] | None = None,
+    class_weights: Sequence[float] | None = None,
+    ignore_labels: Sequence[int] | None = None,
+    ignore_index: int = 255,
+) -> jnp.ndarray:
+    """Warp-consistency CE between t and warped t+-1 semantic predictions.
+
+    Parity: SemanticConsistencyLoss (/root/reference/algos/semantic_seg.py:70-144).
+    Constructed-but-unused in the reference's adaptation path; provided for
+    API completeness.
+    """
+    sem_preds = [jnp.argmax(p, axis=-1) for p in preds_probs]
+    target_probs = preds_probs[0]
+
+    def _per_pixel(target_labels, pred_rgb=None, target_rgb=None):
+        entropy = -jnp.sum(
+            target_probs * jnp.log(target_probs + 1e-10), axis=-1)
+        pixel_weights = (entropy.max() - entropy) / entropy.max()
+        pred = target_probs
+        tgt = target_labels
+        if ignore_labels:
+            for ignore_label in ignore_labels:
+                tgt = jnp.where(tgt == ignore_label, ignore_index, tgt)
+            preserved = [c for c in range(pred.shape[-1])
+                         if c not in ignore_labels]
+            pred = pred[..., jnp.asarray(preserved)]
+        cw = None
+        if class_weights is not None:
+            cw_list = class_weights
+            if ignore_labels:
+                cw_list = [w for label, w in enumerate(class_weights)
+                           if label not in ignore_labels]
+            cw = jnp.asarray(cw_list, dtype=pred.dtype)
+        loss = cross_entropy_per_pixel(pred, tgt, cw, ignore_index)
+        loss = loss * pixel_weights
+        if pred_rgb is not None and target_rgb is not None:
+            loss = loss * jnp.exp(
+                -jnp.mean(jnp.abs(target_rgb - pred_rgb), axis=-1))
+        return loss[..., None]
+
+    recon_losses = []
+    for i, (sem_pred_i, img_i, pose_i) in enumerate(
+            zip(sem_preds[1:], images[1:], poses)):
+        sem_f = sem_pred_i.astype(jnp.float32)[..., None]
+        motion = None if object_motion_maps is None else object_motion_maps[i]
+        warped_sem = warp_image(intrinsics, sem_f, depth_map, pose_i,
+                                interp_mode="nearest", object_motion=motion)
+        warped_rgb = warp_image(intrinsics, img_i, depth_map, pose_i,
+                                object_motion=motion)
+        recon_losses.append(
+            _per_pixel(warped_sem[..., 0].astype(jnp.int32),
+                       warped_rgb, images[0]))
+    recon = jnp.concatenate(recon_losses, axis=-1)
+
+    identity_losses = [
+        _per_pixel(sem_pred_i.astype(jnp.int32)) for sem_pred_i in sem_preds[1:]
+    ]
+    identity = jnp.concatenate(identity_losses, axis=-1)
+    identity = identity + jax.random.normal(
+        rng, identity.shape, identity.dtype) * 1e-5
+
+    combined = jnp.concatenate([recon, identity], axis=-1)
+    return jnp.mean(jnp.min(combined, axis=-1))

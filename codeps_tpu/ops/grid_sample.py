@@ -1,0 +1,83 @@
+"""Differentiable image sampling (grid_sample) for NHWC tensors.
+
+Semantics match ``torch.nn.functional.grid_sample(mode=..., padding_mode=
+'border', align_corners=True)`` as used by the warper
+(/root/reference/misc/image_warper.py:178-182). Grids hold normalized
+coordinates in [-1, 1] ordered (u, v) = (x, y).
+
+Implemented as gathers over the flattened spatial axis; XLA fuses the
+weight computation into the gather consumers. A Pallas kernel can replace
+this on the photometric hot path if profiling warrants.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _unnormalize(coords: jnp.ndarray, size: int) -> jnp.ndarray:
+    """[-1, 1] -> [0, size-1] with align_corners=True."""
+    return (coords + 1.0) * 0.5 * (size - 1)
+
+
+def _gather_2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Gather pixels: img (B, H, W, C), iy/ix (B, Ho, Wo) int32 -> (B, Ho, Wo, C)."""
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = iy * w + ix  # (B, Ho, Wo)
+    out = jnp.take_along_axis(
+        flat, idx.reshape(b, -1, 1), axis=1)  # (B, Ho*Wo, C)
+    return out.reshape(b, iy.shape[1], iy.shape[2], c)
+
+
+def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
+                mode: str = "bilinear") -> jnp.ndarray:
+    """Sample ``img`` at ``grid`` locations.
+
+    Args:
+      img:  (B, H, W, C) source image.
+      grid: (B, Ho, Wo, 2) normalized (u, v) coordinates in [-1, 1].
+      mode: 'bilinear' or 'nearest'.
+
+    Returns:
+      (B, Ho, Wo, C) sampled image, border padding, align_corners=True.
+    """
+    _, h, w, _ = img.shape
+    x = _unnormalize(grid[..., 0], w)
+    y = _unnormalize(grid[..., 1], h)
+
+    if mode == "nearest":
+        # torch rounds half away from zero here only for exact .5 after
+        # unnormalize; jnp.round does banker's rounding. Match torch by
+        # floor(x + 0.5) (coordinates are non-negative after clipping).
+        ix = jnp.clip(jnp.floor(x + 0.5), 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(y + 0.5), 0, h - 1).astype(jnp.int32)
+        return _gather_2d(img, iy, ix)
+
+    if mode != "bilinear":
+        raise ValueError(f"Unsupported mode: {mode}")
+
+    # Border padding == clamp the sampling coordinates to the valid range.
+    x = jnp.clip(x, 0.0, w - 1)
+    y = jnp.clip(y, 0.0, h - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    ix1 = jnp.minimum(ix0 + 1, w - 1)
+    iy1 = jnp.minimum(iy0 + 1, h - 1)
+
+    v00 = _gather_2d(img, iy0, ix0)
+    v01 = _gather_2d(img, iy0, ix1)
+    v10 = _gather_2d(img, iy1, ix0)
+    v11 = _gather_2d(img, iy1, ix1)
+
+    wx = wx[..., None]
+    wy = wy[..., None]
+    top = v00 * (1.0 - wx) + v01 * wx
+    bottom = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bottom * wy

@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(xla_force_host_platform_device_count) since only one physical TPU chip is
+reachable in this environment; see SURVEY.md §4.
+"""
+
+import os
+import sys
+
+# Hard-set (not setdefault): the container environment pins
+# JAX_PLATFORMS=axon (single tunneled TPU chip) and registers the axon
+# PJRT plugin via sitecustomize when PALLAS_AXON_POOL_IPS is set. Tests
+# must run on the local 8-device CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The torch reference is an optional golden oracle for parity tests.
+REFERENCE_PATH = "/root/reference"
+if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)

@@ -1,0 +1,260 @@
+"""Golden parity tests for losses vs torch oracles.
+
+algos/depth.py cannot be imported directly (its package pulls torchvision),
+so the oracles here re-execute the reference formulas in torch with the
+reference's exact call structure (SSIM: algos/depth.py:128-155;
+reconstruction: :239-326; smoothness: :58-107; flow: :15-52; semantic CE:
+algos/semantic_seg.py:45-67; instance: algos/instance_seg.py:12-51).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.losses import (center_loss, edge_aware_smoothness_loss,
+                               flow_smoothness_loss, flow_sparsity_loss,
+                               offset_loss, binary_mask_loss,
+                               reconstruction_loss, semantic_loss, ssim)
+
+RNG = np.random.default_rng(7)
+
+
+def _nhwc(x):
+    return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------- oracles
+
+def torch_ssim(x, y):
+    """algos/depth.py:128-155."""
+    pad = torch.nn.ReflectionPad2d(1)
+    pool = torch.nn.AvgPool2d(3, 1)
+    x, y = pad(x), pad(y)
+    mu_x, mu_y = pool(x), pool(y)
+    sigma_x = pool(x ** 2) - mu_x ** 2
+    sigma_y = pool(y ** 2) - mu_y ** 2
+    sigma_xy = pool(x * y) - mu_x * mu_y
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    ssim_d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
+    return torch.clamp((1 - ssim_n / ssim_d) / 2, 0, 1)
+
+
+def torch_photometric(pred, target, alpha=0.85):
+    l1 = torch.abs(pred - target).mean(1, True)
+    s = torch_ssim(pred, target).mean(1, True)
+    return alpha * s + (1 - alpha) * l1
+
+
+def torch_edge_smoothness(img, disp):
+    """algos/depth.py:58-107."""
+    mean_disp = disp.mean(2, True).mean(3, True)
+    norm = disp / (mean_disp + 1e-7)
+    gdx = torch.abs(norm[:, :, :, :-1] - norm[:, :, :, 1:])
+    gdy = torch.abs(norm[:, :, :-1, :] - norm[:, :, 1:, :])
+    gix = torch.mean(torch.abs(img[:, :, :, :-1] - img[:, :, :, 1:]), 1, keepdim=True)
+    giy = torch.mean(torch.abs(img[:, :, :-1, :] - img[:, :, 1:, :]), 1, keepdim=True)
+    return ((gdx * torch.exp(-gix)).mean() + (gdy * torch.exp(-giy)).mean()).sum()
+
+
+def torch_flow_smoothness(flows):
+    """algos/depth.py:15-34 (wrap_around=True)."""
+    def one(f):
+        gx = f - torch.roll(f, shifts=1, dims=3)
+        gy = f - torch.roll(f, shifts=1, dims=2)
+        return torch.mean(torch.sqrt(gx.square() + gy.square() + 1e-7))
+    loss = one(flows[0])
+    for f in flows[1:]:
+        loss = loss + one(f)
+    return loss / len(flows)
+
+
+def torch_flow_sparsity(flows):
+    """algos/depth.py:37-52."""
+    def one(f):
+        a = torch.abs(f)
+        m = torch.mean(a, dim=(2, 3), keepdim=True).detach()
+        return torch.mean(2 * m * torch.sqrt(a / (m + 1e-7) + 1))
+    loss = one(flows[0])
+    for f in flows[1:]:
+        loss = loss + one(f)
+    return loss / len(flows)
+
+
+def torch_semantic_loss(pred, target, pixel_weights, class_weights=None,
+                        ignore_labels=None, top_k=1.0):
+    """algos/semantic_seg.py:45-67."""
+    if ignore_labels is not None:
+        for lbl in ignore_labels:
+            target[target == lbl] = 255
+        preserved = [c for c in range(pred.shape[1]) if c not in ignore_labels]
+        pred = pred[:, preserved, ...]
+        if class_weights is not None:
+            class_weights = [w for i, w in enumerate(class_weights)
+                             if i not in ignore_labels]
+    weight = (None if class_weights is None
+              else torch.tensor(class_weights, dtype=torch.float32))
+    ce = torch.nn.CrossEntropyLoss(weight=weight, ignore_index=255,
+                                   reduction="none")
+    loss = ce(pred, target.long()) * pixel_weights
+    if top_k < 1.0:
+        loss = loss.contiguous().view(-1)
+        k = int(top_k * loss.numel())
+        loss, _ = torch.topk(loss, k)
+    return loss.mean()
+
+
+# ------------------------------------------------------------------ tests
+
+def test_ssim_matches_reference():
+    x = RNG.uniform(0, 1, (2, 3, 10, 14)).astype(np.float32)
+    y = RNG.uniform(0, 1, (2, 3, 10, 14)).astype(np.float32)
+    ref = torch_ssim(torch.tensor(x), torch.tensor(y)).numpy()
+    ours = np.asarray(ssim(_nhwc(x), _nhwc(y))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_edge_aware_smoothness_matches_reference():
+    img = RNG.uniform(0, 1, (2, 3, 12, 16)).astype(np.float32)
+    disp = RNG.uniform(0.01, 1, (2, 1, 12, 16)).astype(np.float32)
+    ref = torch_edge_smoothness(torch.tensor(img), torch.tensor(disp)).numpy()
+    ours = edge_aware_smoothness_loss(_nhwc(img), _nhwc(disp))
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_flow_losses_match_reference():
+    flows = [RNG.normal(0, 0.01, (2, 3, 8, 12)).astype(np.float32)
+             for _ in range(2)]
+    tflows = [torch.tensor(f) for f in flows]
+    jflows = [_nhwc(f) for f in flows]
+    np.testing.assert_allclose(
+        np.asarray(flow_smoothness_loss(jflows)),
+        torch_flow_smoothness(tflows).numpy(), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(flow_sparsity_loss(jflows)),
+        torch_flow_sparsity(tflows).numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_reconstruction_loss_matches_reference():
+    """Full multi-scale loss vs a torch re-execution with the reference
+    resolution pyramid, warper, and automask (noise disabled on both)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from misc.camera_model import CameraModel
+    from misc.image_warper import ImageWarper
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_pose_head", "/root/reference/models/pose_head.py")
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    batch, height, width = 1, 32, 48
+    num_scales = 4
+    fx, fy, cx, cy = 30.0, 29.0, 23.5, 15.5
+    images = [RNG.uniform(0, 1, (batch, 3, height, width)).astype(np.float32)
+              for _ in range(3)]
+    depth = RNG.uniform(1, 40, (batch, 1, height, width)).astype(np.float32)
+    aa = torch.tensor(RNG.normal(0, 0.01, (batch, 1, 3)).astype(np.float32))
+    tt = torch.tensor(RNG.normal(0, 0.05, (batch, 1, 3)).astype(np.float32))
+    T0 = rp.PoseHead.transformation_from_parameters(aa, tt[:, 0], True)
+    T1 = rp.PoseHead.transformation_from_parameters(aa, tt[:, 0], False)
+
+    # torch oracle: ReconstructionLoss.__call__ (algos/depth.py:239-326)
+    cams = [CameraModel(width, height, fx, fy, cx, cy)]
+    loss_t = torch.zeros(1)
+    timages = [torch.tensor(im) for im in images]
+    tdepth = torch.tensor(depth)
+    for s in range(num_scales):
+        sw, sh = width // 2 ** s, height // 2 ** s
+        scams = [c.get_scaled_model_image_size(sw, sh) for c in cams]
+        warper = ImageWarper(sw, sh, torch.device("cpu"))
+        starget = F.interpolate(timages[0], (sh, sw), mode="bilinear",
+                                align_corners=False)
+        sdepth = F.interpolate(tdepth, (sh, sw), mode="bilinear",
+                               align_corners=False)
+        recon = []
+        for i, frame in enumerate(timages[1:]):
+            sframe = F.interpolate(frame, (sh, sw), mode="bilinear",
+                                   align_corners=False)
+            pred = warper(scams, sframe, sdepth, [T0, T1][i])
+            recon.append(torch_photometric(pred, starget))
+        recon = torch.cat(recon, 1)
+        ident = []
+        for frame in timages[1:]:
+            sframe = F.interpolate(frame, (sh, sw), mode="bilinear",
+                                   align_corners=False)
+            ident.append(torch_photometric(sframe, starget))
+        ident = torch.cat(ident, 1)
+        combined = torch.cat((recon, ident), dim=1)
+        per_pixel, _ = torch.min(combined, dim=1)
+        loss_t += per_pixel.mean() / 2 ** s
+    ref = (loss_t[0] / num_scales).numpy()
+
+    intr = np.asarray([[fx, fy, cx, cy]], np.float32)
+    ours = reconstruction_loss(
+        jax.random.PRNGKey(0), jnp.asarray(intr),
+        [_nhwc(im) for im in images], _nhwc(depth),
+        [jnp.asarray(T0.numpy()), jnp.asarray(T1.numpy())],
+        num_scales=num_scales, identity_noise_scale=0.0)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_class_weights,ignore_labels,top_k", [
+    (False, None, 1.0),
+    (True, None, 0.2),
+    (True, [3, 6], 0.2),
+])
+def test_semantic_loss_matches_reference(with_class_weights, ignore_labels,
+                                         top_k):
+    batch, height, width, classes = 2, 8, 12, 14
+    logits = RNG.normal(0, 1, (batch, classes, height, width)).astype(np.float32)
+    probs = torch.softmax(torch.tensor(logits), dim=1).numpy()
+    # After channel dropping the reference indexes compacted channels with
+    # original ids (semantic_seg.py:50-57); targets above the compacted
+    # count would crash torch CE, so real targets stay below it.
+    max_target = classes - (len(ignore_labels) if ignore_labels else 0)
+    target = RNG.integers(0, max_target, (batch, height, width)).astype(np.int32)
+    target[0, 0, :] = 255  # some ignore pixels
+    pixel_weights = RNG.uniform(0.5, 3.0, (batch, height, width)).astype(np.float32)
+    class_weights = (list(RNG.uniform(0.5, 2.0, classes).astype(float))
+                     if with_class_weights else None)
+
+    ref = torch_semantic_loss(
+        torch.tensor(probs), torch.tensor(target.copy()),
+        torch.tensor(pixel_weights), class_weights, ignore_labels, top_k).numpy()
+
+    ours = semantic_loss(
+        jnp.asarray(probs.transpose(0, 2, 3, 1)), jnp.asarray(target),
+        jnp.asarray(pixel_weights), class_weights, ignore_labels, top_k)
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-5, atol=1e-6)
+
+
+def test_instance_losses_match_reference():
+    pred_c = RNG.normal(0, 1, (2, 1, 8, 12)).astype(np.float32)
+    gt_c = RNG.normal(0, 1, (2, 1, 8, 12)).astype(np.float32)
+    pred_o = RNG.normal(0, 1, (2, 2, 8, 12)).astype(np.float32)
+    gt_o = RNG.normal(0, 1, (2, 2, 8, 12)).astype(np.float32)
+
+    ref_center = torch.nn.MSELoss()(torch.tensor(pred_c), torch.tensor(gt_c)).numpy()
+    ref_offset = torch.nn.L1Loss()(torch.tensor(pred_o), torch.tensor(gt_o)).numpy()
+    np.testing.assert_allclose(
+        np.asarray(center_loss(_nhwc(pred_c), _nhwc(gt_c))), ref_center,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(offset_loss(_nhwc(pred_o), _nhwc(gt_o))), ref_offset,
+        rtol=1e-6)
+
+    logits = RNG.normal(0, 1, (2, 2, 8, 12)).astype(np.float32)
+    target = RNG.integers(0, 2, (2, 8, 12)).astype(np.int64)
+    target[0, :2, :] = 255
+    ref_bm = torch.nn.CrossEntropyLoss(reduction="none", ignore_index=255)(
+        torch.tensor(logits), torch.tensor(target)).mean().numpy()
+    ours_bm = binary_mask_loss(_nhwc(logits), jnp.asarray(target))
+    np.testing.assert_allclose(np.asarray(ours_bm), ref_bm, rtol=1e-5,
+                               atol=1e-7)
