@@ -1,0 +1,131 @@
+"""Batch assembly + a threaded prefetching loader.
+
+Replaces torch DataLoader + collate_batch (misc/train_utils.py:81-190)
+with a host-side pipeline: worker threads run __getitem__ (numpy/PIL
+release the GIL for the heavy ops), samples collate into the canonical
+NHWC batch dict consumed by the jitted steps, and a prefetch queue keeps
+the device fed (double buffering happens naturally via dispatch-ahead).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Sequence
+
+import numpy as np
+
+
+def collate_batch(samples: List[Dict[str, Any]],
+                  offsets: Sequence[int] = (1,)) -> Dict[str, np.ndarray]:
+    """List of dataset samples -> canonical batch dict.
+
+    Output keys (all NHWC, frame axis = [t, t-1, t+1, ...]):
+      frames (B, 1+2*len(offsets), H, W, 3), camera (B, 4),
+      semantic/semantic_weights/thing_mask (B, H, W),
+      center/center_weights (B, H, W, 1), offset/offset_weights (B, H, W, 2|1),
+      depth_gt (B, H, W) when present, instance (B, H, W) when present.
+    """
+    first = samples[0]
+    batch: Dict[str, Any] = {}
+
+    frame_offsets = [0]
+    for offset in offsets:
+        frame_offsets += [-offset, offset]
+    batch["frames"] = np.stack([
+        np.stack([sample["rgb"][o] for o in frame_offsets])
+        for sample in samples
+    ]).astype(np.float32)
+    batch["camera"] = np.stack(
+        [np.asarray(sample["camera_model"], np.float32)
+         for sample in samples])
+
+    def stack(key, dtype):
+        if key in first:
+            batch[key] = np.stack(
+                [np.asarray(sample[key]) for sample in samples]).astype(dtype)
+
+    stack("semantic", np.int32)
+    stack("semantic_eval", np.int32)
+    stack("semantic_weights", np.float32)
+    stack("center", np.float32)
+    stack("center_weights", np.float32)
+    stack("offset", np.float32)
+    stack("offset_weights", np.float32)
+    stack("thing_mask", np.int32)
+    stack("instance", np.int32)
+    if "depth" in first:
+        batch["depth_gt"] = np.stack(
+            [np.asarray(sample["depth"]) for sample in samples]).astype(
+                np.float32)
+    return batch
+
+
+class DataLoader:
+    """Minimal shuffling, prefetching loader over a Dataset."""
+
+    def __init__(self, dataset, batch_size: int, offsets: Sequence[int],
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 num_threads: int = 4, prefetch: int = 2,
+                 shard_index: int = 0, num_shards: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.offsets = list(offsets)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(indices)
+        # Per-host sharding (multi-process data parallel).
+        return indices[self.shard_index::self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        indices = self._indices()
+        n_batches = len(self)
+        batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_batches)]
+
+        out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch_indices in batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.dataset[int(i)] for i in batch_indices]
+                    out_queue.put(collate_batch(samples, self.offsets))
+                out_queue.put(None)
+            except BaseException as exc:  # surface worker errors
+                out_queue.put(exc)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,90 @@
+"""Depth evaluation metrics (Monodepth2 protocol).
+
+Parity: DepthEvaluator (/root/reference/eval/depth.py:7-131): per-item
+masking of void GT, optional garg/eigen crop, optional GT-median scaling,
+clamping to the eval range, then abs_rel / sq_rel / rmse / rmse_log /
+a1-a3 averaged over the batch.
+
+Vectorized with masked reductions + nan-median instead of the reference's
+per-item boolean indexing (dynamic shapes don't trace).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+METRIC_KEYS = ("d_a1", "d_a2", "d_a3", "d_rmse", "d_rmse_log", "d_abs_rel",
+               "d_sq_rel")
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Median over masked entries (torch.median parity: lower of the two
+    middle values for even counts)."""
+    big = jnp.where(mask, values, jnp.inf)
+    sorted_vals = jnp.sort(big)
+    count = jnp.sum(mask)
+    idx = jnp.maximum((count - 1) // 2, 0)
+    return sorted_vals[idx]
+
+
+def compute_depth_metrics(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
+                          use_gt_scale: bool = True,
+                          depth_ranges: Tuple[float, float] = (0.1, 80.0),
+                          use_garg_crop: bool = False) -> Dict[str, jnp.ndarray]:
+    """Compute depth stats averaged over the batch.
+
+    Args:
+      depth_gt: (B, H, W) or (B, H, W, 1); 0 marks void.
+      depth_pred: (B, H, W, 1) or same as gt.
+
+    Returns:
+      dict of scalar metrics (keys METRIC_KEYS).
+    """
+    if depth_gt.ndim == 4:
+        depth_gt = depth_gt[..., 0]
+    if depth_pred.ndim == 4:
+        depth_pred = depth_pred[..., 0]
+    min_depth, max_depth = depth_ranges
+    batch = depth_gt.shape[0]
+
+    mask = depth_gt > 0
+    if use_garg_crop:
+        _, gh, gw = depth_gt.shape
+        crop = jnp.zeros_like(mask)
+        crop = crop.at[:, int(0.4080 * gh):int(0.9891 * gh),
+                       int(0.0354 * gw):int(0.9638 * gw)].set(True)
+        mask = mask & crop
+
+    gt_flat = depth_gt.reshape(batch, -1)
+    pred_flat = depth_pred.reshape(batch, -1)
+    mask_flat = mask.reshape(batch, -1)
+    count = jnp.maximum(jnp.sum(mask_flat, axis=1), 1)
+
+    if use_gt_scale:
+        med_gt = jnp.stack([_masked_median(gt_flat[b], mask_flat[b])
+                            for b in range(batch)])
+        med_pred = jnp.stack([_masked_median(pred_flat[b], mask_flat[b])
+                              for b in range(batch)])
+        ratio = med_gt / med_pred
+        pred_flat = pred_flat * ratio[:, None]
+
+    gt = jnp.clip(gt_flat, min_depth, max_depth)
+    pred = jnp.clip(pred_flat, min_depth, max_depth)
+
+    def masked_mean(x):
+        return jnp.sum(jnp.where(mask_flat, x, 0.0), axis=1) / count
+
+    thresh = jnp.maximum(gt / pred, pred / gt)
+    stats = {
+        "d_a1": masked_mean((thresh < 1.25).astype(jnp.float32)),
+        "d_a2": masked_mean((thresh < 1.25 ** 2).astype(jnp.float32)),
+        "d_a3": masked_mean((thresh < 1.25 ** 3).astype(jnp.float32)),
+        "d_rmse": jnp.sqrt(masked_mean((gt - pred) ** 2)),
+        "d_rmse_log": jnp.sqrt(
+            masked_mean((jnp.log(gt) - jnp.log(pred)) ** 2)),
+        "d_abs_rel": masked_mean(jnp.abs(gt - pred) / gt),
+        "d_sq_rel": masked_mean((gt - pred) ** 2 / gt),
+    }
+    return {key: jnp.mean(value) for key, value in stats.items()}

@@ -1,0 +1,116 @@
+"""Console/file logging + optional wandb (parity: io_utils/logging.py).
+
+Three channels like the reference: python logging (console+file),
+scalar/image logging to wandb behind an availability flag, and the
+``log_iter`` console formatter. Metrics arrive as host numpy values —
+callers fetch them off-device asynchronously.
+"""
+
+from __future__ import annotations
+
+import logging as _logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+_LOGGER = _logging.getLogger("codeps_tpu")
+
+try:
+    import wandb as _wandb
+    _HAS_WANDB = True
+except ImportError:  # pragma: no cover
+    _wandb = None
+    _HAS_WANDB = False
+
+
+def init_logging(log_dir: Optional[str] = None, debug: bool = False) -> None:
+    """Console + optional file handler (io_utils/logging.py:21-43)."""
+    _LOGGER.setLevel(_logging.DEBUG if debug else _logging.INFO)
+    _LOGGER.propagate = False  # avoid duplicate lines via the root logger
+    _LOGGER.handlers.clear()
+    console = _logging.StreamHandler(sys.stdout)
+    console.setFormatter(_logging.Formatter(
+        "%(asctime)s %(levelname)s: %(message)s", "%H:%M:%S"))
+    _LOGGER.addHandler(console)
+    if log_dir is not None:
+        Path(log_dir).mkdir(parents=True, exist_ok=True)
+        handler = _logging.FileHandler(str(Path(log_dir) / "run.log"))
+        handler.setFormatter(_logging.Formatter(
+            "%(asctime)s %(levelname)s: %(message)s"))
+        _LOGGER.addHandler(handler)
+
+
+def log_info(message: str, *args, **kwargs) -> None:
+    _LOGGER.info(message, *args)
+
+
+def log_iter(step: int, total_steps: int, metrics: Dict[str, Any],
+             prefix: str = "train", lr: Optional[float] = None,
+             elapsed: Optional[float] = None) -> None:
+    """One console line per log interval (io_utils/logging.py:80-121)."""
+    parts = [f"[{prefix}] {step}/{total_steps}"]
+    if lr is not None:
+        parts.append(f"lr={lr:.6f}")
+    for key, value in metrics.items():
+        try:
+            parts.append(f"{key}={float(value):.4f}")
+        except (TypeError, ValueError):
+            continue
+    if elapsed is not None:
+        parts.append(f"{elapsed:.2f}s/it")
+    _LOGGER.info(" ".join(parts))
+
+
+class WandbLogger:
+    """Thin optional wandb sink (misc/train_utils.py:62-78 init parity)."""
+
+    def __init__(self, project: Optional[str] = None,
+                 entity: Optional[str] = None,
+                 run_name: Optional[str] = None, enabled: bool = False,
+                 config: Optional[dict] = None):
+        self.enabled = enabled and _HAS_WANDB
+        self.run = None
+        if self.enabled:
+            self.run = _wandb.init(project=project, entity=entity,
+                                   name=run_name, config=config)
+
+    def log_scalars(self, mode: str, losses: Optional[Dict] = None,
+                    metrics: Optional[Dict] = None, step: int = 0) -> None:
+        if not self.enabled:
+            return
+        payload = {}
+        for group, values in (("losses", losses), ("metrics", metrics)):
+            if not values:
+                continue
+            for key, value in values.items():
+                try:
+                    payload[f"{mode}_{group}/{key}"] = float(value)
+                except (TypeError, ValueError):
+                    continue
+        self.run.log(payload, step=step)
+
+    def log_images(self, prefix: str, images: Dict[str, Any],
+                   step: int = 0) -> None:
+        if not self.enabled:
+            return
+        self.run.log({f"{prefix}/{k}": _wandb.Image(v)
+                      for k, v in images.items()}, step=step)
+
+    def finish(self) -> None:
+        if self.enabled and self.run is not None:
+            self.run.finish()
+
+
+class Timer:
+    """data_time / batch_time instrumentation
+    (scripts/train_codeps.py:79-94)."""
+
+    def __init__(self):
+        self.start = time.time()
+
+    def elapsed(self) -> float:
+        now = time.time()
+        delta = now - self.start
+        self.start = now
+        return delta

@@ -115,45 +115,55 @@ def init_params(rng: jax.Array, modules: CodepsModules,
     Returns (params, batch_stats), each a dict keyed by module name.
     """
     height, width = image_size
-    dummy = jnp.zeros((1, height, width, 3), jnp.float32)
-    keys = jax.random.split(rng, 8)
 
-    params: Dict[str, Any] = {}
-    stats: Dict[str, Any] = {}
+    # One jitted program for the whole init: unjitted flax init dispatches
+    # thousands of tiny ops (100+ seconds on a slow host); fused it is
+    # a single compile.
+    def _init(rng):
+        dummy = jnp.zeros((1, height, width, 3), jnp.float32)
+        keys = jax.random.split(rng, 8)
 
-    variables = modules.backbone_po_depth.init(keys[0], dummy, train=False)
-    params["backbone_po_depth"] = variables["params"]
-    stats["backbone_po_depth"] = variables.get("batch_stats", {})
-    feats = modules.backbone_po_depth.apply(variables, dummy, train=False)
+        params: Dict[str, Any] = {}
+        stats: Dict[str, Any] = {}
 
-    if modules.backbone_pose_sflow is not None:
-        channels = 2 * modules.backbone_pose_sflow.num_channels_input
-        dummy_pose = jnp.zeros((1, height, width, channels), jnp.float32)
-        variables = modules.backbone_pose_sflow.init(keys[1], dummy_pose,
-                                                     train=False)
-        params["backbone_pose_sflow"] = variables["params"]
-        stats["backbone_pose_sflow"] = variables.get("batch_stats", {})
-        pose_feats = modules.backbone_pose_sflow.apply(variables, dummy_pose,
-                                                       train=False)
+        variables = modules.backbone_po_depth.init(keys[0], dummy,
+                                                   train=False)
+        params["backbone_po_depth"] = variables["params"]
+        stats["backbone_po_depth"] = variables.get("batch_stats", {})
+        feats = modules.backbone_po_depth.apply(variables, dummy,
+                                                train=False)
 
-    if modules.depth_head is not None:
-        variables = modules.depth_head.init(keys[2], feats)
-        params["depth_head"] = variables["params"]
-    if modules.pose_head is not None:
-        variables = modules.pose_head.init(keys[3], pose_feats)
-        params["pose_head"] = variables["params"]
-    if modules.flow_head is not None:
-        variables = modules.flow_head.init(keys[4], pose_feats)
-        params["flow_head"] = variables["params"]
-    if modules.semantic_head is not None:
-        variables = modules.semantic_head.init(keys[5], feats)
-        params["semantic_head"] = variables["params"]
-    if modules.instance_head is not None:
-        variables = modules.instance_head.init(keys[6], feats, train=False)
-        params["instance_head"] = variables["params"]
-        stats["instance_head"] = variables.get("batch_stats", {})
+        if modules.backbone_pose_sflow is not None:
+            channels = 2 * modules.backbone_pose_sflow.num_channels_input
+            dummy_pose = jnp.zeros((1, height, width, channels), jnp.float32)
+            variables = modules.backbone_pose_sflow.init(keys[1], dummy_pose,
+                                                         train=False)
+            params["backbone_pose_sflow"] = variables["params"]
+            stats["backbone_pose_sflow"] = variables.get("batch_stats", {})
+            pose_feats = modules.backbone_pose_sflow.apply(
+                variables, dummy_pose, train=False)
 
-    return params, stats
+        if modules.depth_head is not None:
+            params["depth_head"] = modules.depth_head.init(
+                keys[2], feats)["params"]
+        if modules.pose_head is not None:
+            params["pose_head"] = modules.pose_head.init(
+                keys[3], pose_feats)["params"]
+        if modules.flow_head is not None:
+            params["flow_head"] = modules.flow_head.init(
+                keys[4], pose_feats)["params"]
+        if modules.semantic_head is not None:
+            params["semantic_head"] = modules.semantic_head.init(
+                keys[5], feats)["params"]
+        if modules.instance_head is not None:
+            variables = modules.instance_head.init(keys[6], feats,
+                                                   train=False)
+            params["instance_head"] = variables["params"]
+            stats["instance_head"] = variables.get("batch_stats", {})
+
+        return params, stats
+
+    return jax.jit(_init)(rng)
 
 
 def param_count(params) -> int:

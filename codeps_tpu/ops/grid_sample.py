@@ -31,20 +31,53 @@ def _gather_2d(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarra
 
 
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
-                mode: str = "bilinear") -> jnp.ndarray:
+                mode: str = "bilinear",
+                padding_mode: str = "border") -> jnp.ndarray:
     """Sample ``img`` at ``grid`` locations.
 
     Args:
       img:  (B, H, W, C) source image.
       grid: (B, Ho, Wo, 2) normalized (u, v) coordinates in [-1, 1].
       mode: 'bilinear' or 'nearest'.
+      padding_mode: 'border' (clamp) or 'zeros' (out-of-range reads 0,
+        with torch's bilinear edge weighting).
 
     Returns:
-      (B, Ho, Wo, C) sampled image, border padding, align_corners=True.
+      (B, Ho, Wo, C) sampled image, align_corners=True.
     """
     _, h, w, _ = img.shape
     x = _unnormalize(grid[..., 0], w)
     y = _unnormalize(grid[..., 1], h)
+
+    if padding_mode == "zeros":
+        if mode == "nearest":
+            ix = jnp.floor(x + 0.5)
+            iy = jnp.floor(y + 0.5)
+            inside = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
+            ix = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+            iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+            out = _gather_2d(img, iy, ix)
+            return out * inside[..., None].astype(out.dtype)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
+        vals = 0.0
+        for dy, wgt_y in ((0, 1.0 - wy), (1, wy)):
+            for dx, wgt_x in ((0, 1.0 - wx), (1, wx)):
+                ix = x0 + dx
+                iy = y0 + dy
+                inside = ((ix >= 0) & (ix <= w - 1)
+                          & (iy >= 0) & (iy <= h - 1))
+                gi = _gather_2d(img,
+                                jnp.clip(iy, 0, h - 1).astype(jnp.int32),
+                                jnp.clip(ix, 0, w - 1).astype(jnp.int32))
+                vals = vals + gi * wgt_x * wgt_y \
+                    * inside[..., None].astype(gi.dtype)
+        return vals
+
+    if padding_mode != "border":
+        raise ValueError(f"Unsupported padding mode: {padding_mode}")
 
     if mode == "nearest":
         # torch rounds half away from zero here only for exact .5 after

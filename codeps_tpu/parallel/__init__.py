@@ -1,0 +1,4 @@
+from codeps_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                      batch_sharding)
+
+__all__ = ["make_mesh", "replicate", "shard_batch", "batch_sharding"]

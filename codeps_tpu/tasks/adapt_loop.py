@@ -1,0 +1,338 @@
+"""Host driver for the online-adaptation stream.
+
+Parity: the adapt() loop of scripts/adapt_codeps.py:41-374 — per frame:
+teacher eval + metrics (cumulative/interval mIoU, streaming PQ), mixup
+pseudo-labeling + composition, nof_adaptation_steps jitted gradient steps
+with in-jit EMA blend, then the diversity replay-buffer add.
+
+The heavy work runs in three jitted programs (tasks/adapt.py); this
+driver assembles static-shaped device batches from the ReplayBuffer's
+per-frame sample dicts and keeps the metric meters.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from codeps_tpu.data.mixup import Mixup
+from codeps_tpu.evaluation import (AverageMeter, ConfusionMatrixMeter,
+                                   ConstantMeter, PanopticEvaluator,
+                                   compute_sem_miou)
+from codeps_tpu.tasks.adapt import (make_adapt_step, make_eval_step,
+                                    make_gt_panoptic_step, make_plabel_step)
+from codeps_tpu.tasks.state import AdaptState
+
+MIXUP_KEYS = ("cut_mixup", "class_mixup", "conf_instance_mixup")
+
+
+def _frames_from_sample(sample, offsets=(1,)) -> np.ndarray:
+    """rgb dict {0,-1,1,...} -> (1, F, H, W, 3) [t, t-1, t+1, ...]."""
+    order = [0]
+    for offset in offsets:
+        order += [-offset, offset]
+    return np.stack([np.asarray(sample["rgb"][o], np.float32)
+                     for o in order])[None]
+
+
+class AdaptationRunner:
+
+    def __init__(self, cfg, modules, state: AdaptState, tx, replay_buffer,
+                 frozen_modules: List[str], label_mode: str = "codeps",
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.modules = modules
+        self.state = state
+        self.tx = tx
+        self.buffer = replay_buffer
+        self.verbose = verbose
+        self.offsets = tuple(cfg.dataset.offsets)
+
+        dataset = replay_buffer.target_data
+        self.thing_list = tuple(dataset.thing_classes)
+        self.stuff_list = tuple(dataset.stuff_classes)
+        self.ignore_classes = tuple(dataset.ignore_classes)
+        self.num_classes = dataset.num_classes
+
+        # EMA module list (adapt_codeps.py:57-69)
+        self.ema_modules: List[str] = []
+        if cfg.adapt.mode != "off":
+            if cfg.adapt.ema.depth:
+                raise NotImplementedError(
+                    "Consistency loss for depth is not implemented "
+                    "(matches the reference, adapt_codeps.py:70-72)")
+            if cfg.adapt.ema.semantic and cfg.adapt.model.semantic:
+                self.ema_modules.append("semantic_head")
+            if cfg.adapt.ema.instance and cfg.adapt.model.instance:
+                self.ema_modules.append("instance_head")
+        self.frozen_modules = list(frozen_modules)
+
+        class_weights = [w for i, w in enumerate(cfg.semantics.class_weights)
+                         if i not in cfg.dataset.remove_classes]
+
+        self.eval_step = make_eval_step(modules, cfg, self.thing_list,
+                                        self.ignore_classes)
+        self.plabel_step = make_plabel_step(modules)
+        self.gt_panoptic = make_gt_panoptic_step(modules, self.thing_list)
+
+        self.mixup_active = cfg.adapt.mixup.general.active
+        num_mixup = (cfg.adapt.mixup.general.nof_samples
+                     if self.mixup_active else 0)
+        common = dict(
+            modules=modules, cfg=cfg, tx=tx, class_weights=class_weights,
+            ema_modules=self.ema_modules,
+            frozen_modules=self.frozen_modules, num_mixup=num_mixup,
+            sem_ignore_classes=list(self.ignore_classes) or None)
+        self.adapt_step_with_replay = make_adapt_step(has_replay=True,
+                                                      **common)
+        self.adapt_step_no_replay = make_adapt_step(has_replay=False,
+                                                    **common)
+
+        self.disable_adaptation = cfg.adapt.mode == "off"
+        self.adaptation_steps = (0 if self.disable_adaptation
+                                 else cfg.train.nof_adaptation_steps)
+        self.loss_weights = {k: v for k, v in cfg.losses.weights.items()}
+
+        self.panoptic_eval = PanopticEvaluator(list(self.stuff_list),
+                                               list(self.thing_list))
+        self.meters = self._make_meters()
+        self.mixup_rng = np.random.default_rng(cfg.adapt.replay_sampler.seed)
+        self.step_times: List[float] = []
+
+    # ------------------------------------------------------------------
+
+    def _make_meters(self):
+        loss_names = ["loss", "depth_recon", "depth_smth", "flow_smth",
+                      "flow_sparsity", "semantic_source",
+                      "semantic_cut_mixup", "center_source",
+                      "offset_source"]
+        metric_names = ["d_abs_rel", "d_a1", "d_a2", "d_a3", "d_rmse",
+                        "d_rmse_log", "d_sq_rel"]
+        meters = {
+            "losses": {name: AverageMeter(()) for name in loss_names},
+            "metrics": {name: AverageMeter(()) for name in metric_names},
+        }
+        meters["metrics"]["sem_conf"] = ConfusionMatrixMeter(
+            self.num_classes)
+        meters["metrics"]["sem_conf_interval"] = ConfusionMatrixMeter(
+            self.num_classes)
+        for name in ("sem_miou", "sem_miou_pixels", "sem_miou_interval",
+                     "sem_miou_pixels_interval", "p_pq", "p_sq", "p_rq"):
+            meters["metrics"][name] = ConstantMeter(())
+        return meters
+
+    # ------------------------------------------------------------------
+
+    def _target_eval_batch(self, sample) -> Dict[str, Any]:
+        batch = {
+            "frames": jnp.asarray(_frames_from_sample(sample["target"],
+                                                      self.offsets)),
+            "camera": jnp.asarray(
+                np.asarray(sample["target"]["camera_model"],
+                           np.float32)[None]),
+        }
+        target = sample["target"]
+        if "semantic" in target:
+            batch["semantic"] = jnp.asarray(
+                np.asarray(target["semantic"], np.int32)[None])
+            if "semantic_eval" in target:
+                batch["semantic_eval"] = jnp.asarray(
+                    np.asarray(target["semantic_eval"], np.int32)[None])
+        if "depth" in target:
+            batch["depth_gt"] = jnp.asarray(
+                np.asarray(target["depth"], np.float32)[None])
+        return batch
+
+    def _adapt_batch(self, sample, mixup_samples) -> Dict[str, Any]:
+        def stack_domain(items, keys):
+            domain = {"frames": jnp.asarray(np.concatenate(
+                [_frames_from_sample(item, self.offsets)
+                 for item in items]))}
+            domain["camera"] = jnp.asarray(np.stack(
+                [np.asarray(item["camera_model"], np.float32)
+                 for item in items]))
+            for key, dtype in keys:
+                if key in items[0]:
+                    domain[key] = jnp.asarray(np.stack(
+                        [np.asarray(item[key]) for item in items]).astype(
+                            dtype))
+            return domain
+
+        batch = {
+            "target": {
+                "frames": jnp.asarray(_frames_from_sample(
+                    sample["target"], self.offsets)),
+                "camera": jnp.asarray(np.asarray(
+                    sample["target"]["camera_model"], np.float32)[None]),
+            },
+            "source": stack_domain(sample["source"], [
+                ("semantic", np.int32), ("semantic_weights", np.float32),
+                ("center", np.float32), ("offset", np.float32),
+            ]),
+        }
+        if "target_replay" in sample:
+            batch["target_replay"] = stack_domain(sample["target_replay"],
+                                                  [])
+        if mixup_samples:
+            batch["mixup"] = {
+                "rgb": jnp.asarray(np.stack(
+                    [np.asarray(m["rgb"][0], np.float32)
+                     for m in mixup_samples])),
+                "semantic": jnp.asarray(np.stack(
+                    [np.asarray(m["semantic"], np.int32)
+                     for m in mixup_samples])),
+                "center": jnp.asarray(np.stack(
+                    [np.asarray(m["center"], np.float32)
+                     for m in mixup_samples])),
+                "offset": jnp.asarray(np.stack(
+                    [np.asarray(m["offset"], np.float32)
+                     for m in mixup_samples])),
+                "loss_weight": jnp.asarray(np.asarray(
+                    [self.loss_weights.get(f"semantic_{m['strategy']}")
+                     or 0.0 for m in mixup_samples], np.float32)),
+            }
+        return batch
+
+    def _compose_mixups(self, sample) -> List[Dict[str, Any]]:
+        """Teacher pseudo-labels + host composition for every mixup item."""
+        items = []
+        for key in MIXUP_KEYS:
+            for item in sample.get(key, []):
+                items.append((key, item))
+        if not items:
+            return []
+
+        rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0], np.float32)
+                            for _, item in items])
+        sem, center, offset = self.plabel_step(
+            self.state.ema_params, self.state.ema_batch_stats,
+            jnp.asarray(rgb_tgt))
+        sem = np.asarray(sem)
+        center = np.asarray(center)
+        offset = np.asarray(offset)
+
+        composed = []
+        for i, (strategy, item) in enumerate(items):
+            data = dict(item)
+            data["semantic_pred_tgt_ema"] = sem[i]
+            data["center_pred_tgt_ema"] = center[i]
+            data["offset_pred_tgt_ema"] = offset[i]
+            out = Mixup.do_mixup(strategy, data, self.thing_list,
+                                 self.cfg.adapt.mixup, rng=self.mixup_rng,
+                                 num_classes=self.num_classes)
+            out["strategy"] = strategy
+            composed.append(out)
+        return composed
+
+    # ------------------------------------------------------------------
+
+    def _update_metrics(self, sample, eval_batch, results, stats) -> None:
+        metrics = self.meters["metrics"]
+        for name, value in stats.items():
+            if name in metrics and name != "sem_conf":
+                metrics[name].update(np.asarray(value))
+        if "sem_conf" in stats:
+            conf = np.asarray(stats["sem_conf"])
+            metrics["sem_conf"].update(conf)
+            metrics["sem_conf_interval"].update(conf)
+
+            for prefix, meter_name in (("", "sem_conf"),
+                                       ("_interval", "sem_conf_interval")):
+                mat = metrics[meter_name].sum
+                keep = [i for i in range(self.num_classes)
+                        if i not in self.ignore_classes]
+                per_class = compute_sem_miou(mat, self.num_classes,
+                                             self.ignore_classes)
+                filtered = np.asarray(mat)[keep][:, keep]
+                has_gt = filtered.sum(axis=1) != 0
+                miou = per_class[has_gt].mean() if has_gt.any() else 0.0
+                metrics[f"sem_miou{prefix}"].update(miou)
+                metrics[f"sem_miou_pixels{prefix}"].update(
+                    compute_sem_miou(mat, self.num_classes,
+                                     self.ignore_classes, sum_pixels=True))
+
+        if "panoptic" in results and "semantic" in eval_batch:
+            gt_sem = eval_batch.get("semantic_eval",
+                                    eval_batch["semantic"])
+            target = sample["target"]
+            pan_gt = self.gt_panoptic(
+                gt_sem,
+                jnp.asarray(np.asarray(target["center"],
+                                       np.float32)[None]),
+                jnp.asarray(np.asarray(target["offset"],
+                                       np.float32)[None]))
+            self.panoptic_eval.update(np.asarray(pan_gt),
+                                      np.asarray(results["panoptic"]))
+            scores = self.panoptic_eval.evaluate()
+            metrics["p_pq"].update(scores["All"]["pq"])
+            metrics["p_sq"].update(scores["All"]["sq"])
+            metrics["p_rq"].update(scores["All"]["rq"])
+
+    # ------------------------------------------------------------------
+
+    def run(self, max_frames: Optional[int] = None,
+            log_interval: Optional[int] = None) -> Dict[str, Any]:
+        """Stream the adaptation split; returns the final meters."""
+        log_interval = log_interval or self.cfg.logging.log_step_interval
+        num_frames = len(self.buffer)
+        if max_frames is not None:
+            num_frames = min(num_frames, max_frames)
+
+        for it in range(num_frames):
+            sample = self.buffer[it]
+            if "target" not in sample:
+                continue
+            start = time.time()
+
+            # 1. teacher eval + metrics (before adaptation)
+            eval_batch = self._target_eval_batch(sample)
+            results, stats = self.eval_step(self.state.ema_params,
+                                            self.state.ema_batch_stats,
+                                            eval_batch)
+            self._update_metrics(sample, eval_batch, results, stats)
+
+            if not self.disable_adaptation:
+                # 2. mixup pseudo-labels + composition
+                mixup_samples = (self._compose_mixups(sample)
+                                 if self.mixup_active else [])
+
+                # 3. jitted gradient steps
+                batch = self._adapt_batch(sample, mixup_samples)
+                step_fn = (self.adapt_step_with_replay
+                           if "target_replay" in batch
+                           else self.adapt_step_no_replay)
+                features = None
+                for _ in range(self.adaptation_steps):
+                    self.state, metrics, features = step_fn(self.state,
+                                                            batch)
+                for name, value in metrics.items():
+                    if name in self.meters["losses"]:
+                        self.meters["losses"][name].update(
+                            np.asarray(value) / self.adaptation_steps)
+                self.meters["losses"]["loss"].update(
+                    np.asarray(metrics["loss_total"])
+                    / self.adaptation_steps)
+
+                # 4. replay buffer diversity add
+                if features is not None:
+                    self.buffer.add(sample["index"], np.asarray(features))
+
+            self.step_times.append(time.time() - start)
+
+            if self.verbose and (it + 1) % log_interval == 0:
+                from codeps_tpu.io.logging import log_iter
+                summary = {
+                    "miou": self.meters["metrics"]["sem_miou"].value,
+                    "pq": self.meters["metrics"]["p_pq"].value,
+                    "loss": self.meters["losses"]["loss"].value,
+                }
+                log_iter(it + 1, num_frames, summary, prefix="adapt",
+                         elapsed=float(np.mean(self.step_times[-log_interval:])))
+                self.meters["metrics"]["sem_conf_interval"] = \
+                    ConfusionMatrixMeter(self.num_classes)
+
+        return self.meters

@@ -1,0 +1,162 @@
+#!/usr/bin/env python3
+"""Online-adaptation CLI (parity: /root/reference/scripts/adapt_codeps.py).
+
+Streams a target sequence frame by frame, adapting the pretrained model
+online with source replay + mixup, then validates on the held-out target
+split and on the source dataset (forgetting eval).
+
+Example:
+  python scripts/adapt.py --run_name a1 \
+      --filename_config cfg/adapt_cityscapes_kitti_360.yaml \
+      --checkpoint /path/to/pretrain_ckpt
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="CoDEPS-TPU adaptation")
+    parser.add_argument("--run_name", required=True)
+    parser.add_argument("--filename_config", required=True)
+    parser.add_argument("--comment", default="")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--checkpoint", default=None,
+                        help="Pretraining checkpoint (native dir or "
+                             "reference .pth)")
+    parser.add_argument("--mode", default="adapt")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--buffer_state", default=None,
+                        help="Previous-domain buffer state for continual "
+                             "chains (replay_buffer save_state)")
+    parser.add_argument("--save_buffer_state", default=None)
+    parser.add_argument("--experiments_dir", default="experiments")
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from codeps_tpu.config import gen_config
+    from codeps_tpu.data import Cityscapes, Kitti360, SemKittiDvps
+    from codeps_tpu.data.replay_buffer import ReplayBuffer
+    from codeps_tpu.io import (init_logging, log_info,
+                               pretrained_from_checkpoints)
+    from codeps_tpu.models import build_modules, init_params
+    from codeps_tpu.tasks import AdaptState, build_optimizer
+    from codeps_tpu.tasks.adapt import DIST_BUFFER_LEN
+    from codeps_tpu.tasks.adapt_loop import AdaptationRunner
+
+    cfg = gen_config(args.filename_config, adapt=True)
+    if cfg.adapt.mode == "off":
+        log_info("WARNING: disabled adaptation")
+
+    run_dir = Path(args.experiments_dir) / f"adapt_{args.run_name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.yaml").write_text(cfg.dump())
+    init_logging(str(run_dir / "logs"), debug=args.debug)
+
+    # ---------------- datasets + replay buffer (misc/adapt_utils.py:11-56)
+    if cfg.dataset.name == "sem_kitti_dvps":
+        target_dataset = SemKittiDvps(
+            "sequence", cfg.dataset, return_depth=True,
+            sequences=list(cfg.dataset.sequences),
+            label_mode=cfg.dataset.label_mode)
+    elif cfg.dataset.name == "kitti_360":
+        target_dataset = Kitti360(
+            "sequence", cfg.dataset, return_depth=True,
+            sequences=list(cfg.dataset.sequences),
+            sequence_reference_mode="rgb",
+            label_mode=cfg.dataset.label_mode)
+    else:
+        raise NotImplementedError(
+            f"Dataset {cfg.dataset.name} is not implemented")
+    assert cfg.adapt.source_dataset.name == "cityscapes", \
+        "Only Cityscapes is supported as the adaptation source"
+    source_dataset = Cityscapes("train", cfg.adapt.source_dataset,
+                                label_mode=cfg.dataset.label_mode)
+
+    replay_buffer = ReplayBuffer(target_dataset, cfg.adapt, mode="train")
+    replay_buffer.initialize_source_buffer(
+        source_dataset, cfg.adapt.replay_buffer.source_size)
+    if args.buffer_state:
+        prev_target = type(target_dataset)(
+            "sequence", cfg.dataset, return_depth=False,
+            sequences=list(cfg.dataset.sequences),
+            label_mode=cfg.dataset.label_mode)
+        replay_buffer.load_state(prev_target, args.buffer_state)
+
+    log_info("Adaptation frames: %d | Source buffer: %d",
+             len(replay_buffer), len(replay_buffer.source_samples_indices))
+
+    # ---------------- model
+    num_classes = replay_buffer.num_classes
+    compute_dtype = (jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    modules = build_modules(cfg, num_classes, dtype=compute_dtype)
+    params, batch_stats = init_params(
+        jax.random.PRNGKey(args.seed), modules,
+        tuple(cfg.dataset.feed_img_size))
+    if args.checkpoint:
+        params, batch_stats = pretrained_from_checkpoints(
+            [args.checkpoint], params, batch_stats, cfg)
+        log_info("Loaded checkpoint %s", args.checkpoint)
+
+    # Frozen modules from the adapt flags (adapt_codeps.py:426-435)
+    frozen = []
+    adapt_flags = cfg.adapt.model
+    for module, flag in (("backbone_po_depth", adapt_flags.backbone_po_depth),
+                         ("backbone_pose_sflow",
+                          adapt_flags.backbone_pose_sflow),
+                         ("depth_head", adapt_flags.depth),
+                         ("pose_head", adapt_flags.pose),
+                         ("flow_head", adapt_flags.sflow),
+                         ("semantic_head", adapt_flags.semantic),
+                         ("instance_head", adapt_flags.instance)):
+        if not flag:
+            frozen.append(module)
+    frozen = [m for m in frozen if m in params]
+    log_info("Frozen modules: %s", frozen)
+
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    state = AdaptState(
+        params=params, batch_stats=batch_stats,
+        ema_params=jax.tree.map(lambda x: x, params),
+        ema_batch_stats=batch_stats, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(args.seed),
+        dist_buffer=jnp.zeros((DIST_BUFFER_LEN,), jnp.float32),
+        dist_count=jnp.zeros((), jnp.int32),
+        dist_head=jnp.zeros((), jnp.int32))
+
+    runner = AdaptationRunner(cfg, modules, state, tx, replay_buffer,
+                              frozen_modules=frozen,
+                              label_mode=cfg.dataset.label_mode)
+    meters = runner.run(max_frames=args.max_frames)
+
+    times = np.asarray(runner.step_times[3:] or runner.step_times)
+    log_info("Adaptation done: %.2f steps/s (mean over %d frames)",
+             1.0 / max(times.mean(), 1e-9), len(times))
+    log_info("Final mIoU: %.4f | PQ: %.4f",
+             float(meters["metrics"]["sem_miou"].value),
+             float(meters["metrics"]["p_pq"].value))
+
+    if args.save_buffer_state:
+        replay_buffer.save_state(args.save_buffer_state)
+        log_info("Saved buffer state to %s", args.save_buffer_state)
+
+    log_info("End of adaptation script!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Pretraining CLI (parity: /root/reference/scripts/train_codeps.py).
+
+Supervised panoptic + self-supervised depth pretraining on a source
+dataset, SPMD data-parallel over all local devices.
+
+Example:
+  python scripts/train.py --run_name r1 \
+      --filename_config cfg/train_cityscapes.yaml
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="CoDEPS-TPU pretraining")
+    parser.add_argument("--run_name", required=True)
+    parser.add_argument("--filename_config", required=True,
+                        help="Path to the YAML config (reference cfg/*.yaml)")
+    parser.add_argument("--comment", default="")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--checkpoint", default=None,
+                        help="Resume from this checkpoint")
+    parser.add_argument("--pre_train_checkpoint", nargs="*", default=[],
+                        help="Pretrained weights, 'module:path' syntax "
+                             "supported (io_utils.py:52-73); .pth files "
+                             "are converted on the fly")
+    parser.add_argument("--mode", default="train")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--max_steps", type=int, default=None,
+                        help="Stop after N optimizer steps (smoke runs)")
+    parser.add_argument("--experiments_dir", default="experiments")
+    return parser.parse_args()
+
+
+def build_dataset(cfg, split, return_depth):
+    from codeps_tpu.data import Cityscapes, Kitti360, SemKittiDvps
+    name = cfg.dataset.name
+    label_mode = cfg.dataset.label_mode
+    if name == "cityscapes":
+        return Cityscapes(split, cfg.dataset, return_depth=return_depth,
+                          return_only_rgb=cfg.dataset.return_only_rgb,
+                          label_mode=label_mode)
+    if name == "kitti_360":
+        return Kitti360(split, cfg.dataset, return_depth=return_depth,
+                        return_only_rgb=cfg.dataset.return_only_rgb,
+                        label_mode=label_mode)
+    if name == "sem_kitti_dvps":
+        return SemKittiDvps(split, cfg.dataset, return_depth=return_depth,
+                            label_mode=label_mode)
+    raise NotImplementedError(f"Dataset {name} is not implemented")
+
+
+def main():
+    args = parse_args()
+    np.random.seed(args.seed)
+
+    import jax
+    import jax.numpy as jnp
+
+    from codeps_tpu.config import gen_config
+    from codeps_tpu.data import DataLoader
+    from codeps_tpu.io import (init_logging, log_info, log_iter,
+                               pretrained_from_checkpoints,
+                               resume_from_checkpoint, load_checkpoint,
+                               save_checkpoint)
+    from codeps_tpu.models import build_modules, init_params
+    from codeps_tpu.parallel import make_mesh, replicate, shard_batch
+    from codeps_tpu.tasks import (TrainState, build_optimizer,
+                                  build_schedule, make_train_step)
+
+    cfg = gen_config(args.filename_config)
+    run_dir = Path(args.experiments_dir) / f"train_{args.run_name}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.yaml").write_text(cfg.dump())
+    init_logging(str(run_dir / "logs"), debug=args.debug)
+
+    log_info("Devices: %s", jax.devices())
+    mesh = make_mesh(cfg.tpu.mesh.data_axis)
+    num_devices = mesh.devices.size
+
+    train_dataset = build_dataset(cfg, cfg.dataset.train_split,
+                                  return_depth=False)
+    val_dataset = build_dataset(cfg, cfg.dataset.val_split,
+                                return_depth=cfg.model.make_depth)
+    log_info("Train samples: %d | Val samples: %d", len(train_dataset),
+             len(val_dataset))
+
+    global_batch = cfg.train.batch_size_per_gpu * num_devices
+    train_loader = DataLoader(train_dataset, global_batch,
+                              cfg.dataset.offsets, shuffle=True,
+                              seed=args.seed)
+    val_loader = DataLoader(val_dataset,
+                            cfg.val.batch_size_per_gpu * num_devices,
+                            cfg.dataset.offsets, shuffle=False,
+                            drop_last=True)
+
+    num_classes = train_dataset.num_classes
+    compute_dtype = (jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16"
+                     else jnp.float32)
+    modules = build_modules(cfg, num_classes, dtype=compute_dtype)
+    params, batch_stats = init_params(jax.random.PRNGKey(args.seed),
+                                      modules,
+                                      tuple(cfg.dataset.feed_img_size))
+
+    if args.pre_train_checkpoint:
+        params, batch_stats = pretrained_from_checkpoints(
+            args.pre_train_checkpoint, params, batch_stats, cfg)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = build_schedule(cfg, steps_per_epoch)
+    tx = build_optimizer(cfg, schedule)
+    state = TrainState(params=params, batch_stats=batch_stats,
+                       opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(args.seed))
+
+    start_epoch = 0
+    if args.checkpoint:
+        checkpoint = load_checkpoint(args.checkpoint)
+        params, batch_stats = resume_from_checkpoint(
+            checkpoint, state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=batch_stats)
+        start_epoch = checkpoint["training_meta"]["epoch"] + 1
+        log_info("Resumed from %s at epoch %d", args.checkpoint,
+                 start_epoch)
+
+    class_weights = [w for i, w in enumerate(cfg.semantics.class_weights)
+                     if i not in cfg.dataset.remove_classes]
+    train_step = make_train_step(modules, cfg, tx, class_weights,
+                                 num_classes=num_classes)
+
+    state = replicate(state, mesh)
+    global_step = 0
+    for epoch in range(start_epoch, cfg.train.nof_epochs):
+        train_loader.set_epoch(epoch)
+        epoch_start = time.time()
+        for batch_np in train_loader:
+            batch = shard_batch(batch_np, mesh)
+            state, metrics = train_step(state, batch)
+            global_step += 1
+            if global_step % cfg.logging.log_step_interval == 0:
+                host_metrics = {k: float(v) for k, v in metrics.items()
+                                if np.ndim(v) == 0}
+                log_iter(global_step,
+                         cfg.train.nof_epochs * steps_per_epoch,
+                         host_metrics, prefix=f"train e{epoch}")
+            if args.max_steps and global_step >= args.max_steps:
+                break
+
+        log_info("Epoch %d done in %.1fs", epoch,
+                 time.time() - epoch_start)
+        save_checkpoint(
+            str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg, epoch,
+            global_step, jax.device_get(state.params),
+            jax.device_get(state.batch_stats))
+        if args.max_steps and global_step >= args.max_steps:
+            break
+
+    log_info("End of training script!")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,18 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The sitecustomize may have imported jax already (registering the axon
+# plugin), in which case the env var above is too late — override the
+# config directly before any backend is initialized.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "Tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()[0].platform}")
+assert len(jax.devices()) == 8, (
+    f"Expected 8 virtual CPU devices, got {len(jax.devices())}")
+
 # The torch reference is an optional golden oracle for parity tests.
 REFERENCE_PATH = "/root/reference"
 if os.path.isdir(REFERENCE_PATH) and REFERENCE_PATH not in sys.path:

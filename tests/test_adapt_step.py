@@ -1,0 +1,205 @@
+"""Online-adaptation step tests: eval/plabel/adapt jitted programs + the
+rolling non-moving-frame skip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.config import gen_config
+from codeps_tpu.models import build_modules, init_params
+from codeps_tpu.tasks import AdaptState, build_optimizer
+from codeps_tpu.tasks.adapt import (DIST_BUFFER_LEN, make_adapt_step,
+                                    make_eval_step, make_gt_panoptic_step,
+                                    make_plabel_step, update_ring_buffer)
+
+RNG = np.random.default_rng(9)
+HT, WT = 32, 64   # target resolution
+HS, WS = 32, 96   # source resolution (must be /32-divisible, like the reference feed sizes)
+NC = 14
+THINGS = (9, 10, 11, 12, 13)
+
+
+def _cfg():
+    cfg = gen_config(adapt=True, freeze=False)
+    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.model.pose_sflow_net.params.nof_layers = 18
+    cfg.semantics.class_weights = [1.0] * NC
+    cfg.adapt.ema.semantic = True
+    cfg.adapt.ema.alpha = 0.99
+    return cfg
+
+
+def _modules_state(cfg, frozen=("backbone_po_depth", "instance_head")):
+    modules = build_modules(cfg, num_classes=NC)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (HT, WT))
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    ema_params = jax.tree.map(lambda x: x, params)
+    state = AdaptState(
+        params=params, batch_stats=stats, ema_params=ema_params,
+        ema_batch_stats=stats, opt_state=tx.init(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(2),
+        dist_buffer=jnp.zeros((DIST_BUFFER_LEN,), jnp.float32),
+        dist_count=jnp.zeros((), jnp.int32),
+        dist_head=jnp.zeros((), jnp.int32))
+    return modules, state, tx
+
+
+def _target_batch(with_gt=True):
+    batch = {
+        "frames": jnp.asarray(
+            RNG.uniform(0, 1, (1, 3, HT, WT, 3)).astype(np.float32)),
+        "camera": jnp.asarray([[30.0, 30.0, WT / 2, HT / 2]], jnp.float32),
+    }
+    if with_gt:
+        batch["semantic"] = jnp.asarray(
+            RNG.integers(0, NC, (1, HT, WT)).astype(np.int32))
+        batch["depth_gt"] = jnp.asarray(
+            RNG.uniform(1, 60, (1, HT, WT)).astype(np.float32))
+    return batch
+
+
+def _adapt_batch(num_source=2, num_replay=2, num_mixup=2):
+    batch = {
+        "target": _target_batch(with_gt=False),
+        "source": {
+            "frames": jnp.asarray(RNG.uniform(
+                0, 1, (num_source, 3, HS, WS, 3)).astype(np.float32)),
+            "camera": jnp.tile(
+                jnp.asarray([[28.0, 28.0, WS / 2, HS / 2]], jnp.float32),
+                (num_source, 1)),
+            "semantic": jnp.asarray(RNG.integers(
+                0, NC, (num_source, HS, WS)).astype(np.int32)),
+            "semantic_weights": jnp.ones((num_source, HS, WS), jnp.float32),
+            "center": jnp.asarray(RNG.uniform(
+                0, 1, (num_source, HS, WS, 1)).astype(np.float32)),
+            "offset": jnp.asarray(RNG.normal(
+                0, 4, (num_source, HS, WS, 2)).astype(np.float32)),
+        },
+        "target_replay": {
+            "frames": jnp.asarray(RNG.uniform(
+                0, 1, (num_replay, 3, HT, WT, 3)).astype(np.float32)),
+            "camera": jnp.tile(
+                jnp.asarray([[30.0, 30.0, WT / 2, HT / 2]], jnp.float32),
+                (num_replay, 1)),
+        },
+        "mixup": {
+            "rgb": jnp.asarray(RNG.uniform(
+                0, 1, (num_mixup, HS, WS, 3)).astype(np.float32)),
+            "semantic": jnp.asarray(RNG.integers(
+                0, NC, (num_mixup, HS, WS)).astype(np.int32)),
+            "center": jnp.asarray(RNG.uniform(
+                0, 1, (num_mixup, HS, WS, 1)).astype(np.float32)),
+            "offset": jnp.asarray(RNG.normal(
+                0, 4, (num_mixup, HS, WS, 2)).astype(np.float32)),
+            "loss_weight": jnp.asarray([1.0, 0.0], jnp.float32),
+        },
+    }
+    return batch
+
+
+def test_eval_step_outputs():
+    cfg = _cfg()
+    modules, state, _ = _modules_state(cfg)
+    eval_step = make_eval_step(modules, cfg, THINGS)
+    results, stats = eval_step(state.ema_params, state.ema_batch_stats,
+                               _target_batch())
+    assert results["depth"].shape == (1, HT, WT, 1)
+    assert results["semantic"].shape == (1, HT, WT)
+    assert results["panoptic"].shape == (1, HT, WT)
+    assert stats["sem_conf"].shape == (NC, NC)
+    assert np.isfinite(float(stats["d_abs_rel"]))
+
+
+def test_plabel_and_gt_panoptic_steps():
+    cfg = _cfg()
+    modules, state, _ = _modules_state(cfg)
+    plabel = make_plabel_step(modules)
+    sem, center, offset = plabel(
+        state.ema_params, state.ema_batch_stats,
+        jnp.asarray(RNG.uniform(0, 1, (2, HT, WT, 3)).astype(np.float32)))
+    assert sem.shape == (2, HT, WT)
+    assert center.shape == (2, HT, WT, 1)
+    assert offset.shape == (2, HT, WT, 2)
+
+    gt_pan = make_gt_panoptic_step(modules, THINGS)
+    pan = gt_pan(jnp.asarray(RNG.integers(0, NC, (1, HT, WT))),
+                 jnp.zeros((1, HT, WT, 1)), jnp.zeros((1, HT, WT, 2)))
+    assert pan.shape == (1, HT, WT)
+
+
+def test_ring_buffer_skip_logic():
+    buf = jnp.zeros((DIST_BUFFER_LEN,), jnp.float32)
+    count = jnp.zeros((), jnp.int32)
+    head = jnp.zeros((), jnp.int32)
+
+    # not full -> never skip, appends
+    buf, count, head, skip = update_ring_buffer(buf, count, head,
+                                                jnp.asarray(0.5))
+    assert not bool(skip) and int(count) == 1
+
+    # fill with large distances
+    full_buf = jnp.full((DIST_BUFFER_LEN,), 1.0, jnp.float32)
+    full_count = jnp.asarray(DIST_BUFFER_LEN, jnp.int32)
+    # tiny current distance -> skip, buffer unchanged
+    b2, c2, h2, skip2 = update_ring_buffer(full_buf, full_count, head,
+                                           jnp.asarray(0.01))
+    assert bool(skip2)
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(full_buf))
+    # normal distance -> no skip, overwrite oldest
+    b3, c3, h3, skip3 = update_ring_buffer(full_buf, full_count,
+                                           jnp.asarray(0, jnp.int32),
+                                           jnp.asarray(0.5))
+    assert not bool(skip3)
+    assert float(b3[0]) == 0.5
+
+
+def test_adapt_step_end_to_end():
+    cfg = _cfg()
+    frozen = ("backbone_po_depth", "instance_head")
+    modules, state, tx = _modules_state(cfg, frozen)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=2, donate=False)
+    batch = _adapt_batch()
+
+    new_state, metrics, feats = step(state, batch)
+    for key in ("depth_recon", "depth_smth", "semantic_source",
+                "semantic_mixup_weighted", "center_source",
+                "offset_source"):
+        assert np.isfinite(float(metrics[key])), key
+    assert not bool(metrics["target_skipped"])
+    # feature map for the replay buffer: last pyramid level of frame t
+    assert feats.shape[0] == 1 and feats.shape[-1] == 512
+
+    # frozen modules unchanged; live modules moved
+    frozen_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                state.params["backbone_po_depth"],
+                                new_state.params["backbone_po_depth"])
+    assert max(jax.tree.leaves(frozen_delta)) == 0.0
+    live_delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                              state.params["semantic_head"],
+                              new_state.params["semantic_head"])
+    assert max(jax.tree.leaves(live_delta)) > 0
+
+    # EMA: semantic head blended (still close to old), depth head copied
+    sem_ema_delta = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()),
+        new_state.ema_params["semantic_head"],
+        new_state.params["semantic_head"])
+    assert max(jax.tree.leaves(sem_ema_delta)) > 0  # lags the student
+    depth_ema_delta = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()),
+        new_state.ema_params["depth_head"],
+        new_state.params["depth_head"])
+    assert max(jax.tree.leaves(depth_ema_delta)) == 0  # copied verbatim
+    # frozen module EMA keeps old weights
+    frozen_ema_delta = jax.tree.map(
+        lambda e, p: float(jnp.abs(e - p).max()),
+        new_state.ema_params["backbone_po_depth"],
+        state.ema_params["backbone_po_depth"])
+    assert max(jax.tree.leaves(frozen_ema_delta)) == 0
+    assert int(new_state.dist_count) == 1
