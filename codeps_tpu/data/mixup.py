@@ -243,7 +243,8 @@ class Mixup:
     def do_mixup(mixup_strategy: str, mixup_data: Dict[str, Any],
                  thing_list, cfg_mixup,
                  rng: Optional[np.random.Generator] = None,
-                 num_classes: int = 14) -> Dict[str, Any]:
+                 num_classes: int = 14,
+                 get_off_cen: bool = True) -> Dict[str, Any]:
         """Compose one mixup sample from raw materials + EMA predictions.
 
         Parity: Mixup.do_mixup (mixup.py:405-489). ``mixup_data`` holds
@@ -311,12 +312,19 @@ class Mixup:
             raise NotImplementedError(
                 f"Mixup strategy not implemented: {mixup_strategy}")
 
-        offset, center = get_offset_center(instance)
-        return {
+        out = {
             "rgb": {0: rgb},
             "camera_model": mixup_data["camera_model_src"],
             "semantic": semantic,
-            "center": center,
-            "offset": offset,
             "instance": instance,
         }
+        if get_off_cen:
+            # NOTE: the reference always recomputes these on CPU
+            # (mixup.py:399-402) but no adaptation loss ever consumes the
+            # mixup center/offset (InstanceSegAlgo.adaptation reads only
+            # the source entries, instance_seg.py:177-182) — callers on
+            # the hot path pass get_off_cen=False.
+            offset, center = get_offset_center(instance)
+            out["center"] = center
+            out["offset"] = offset
+        return out

@@ -108,8 +108,9 @@ class AdaptationRunner:
     def _make_meters(self):
         loss_names = ["loss", "depth_recon", "depth_smth", "flow_smth",
                       "flow_sparsity", "semantic_source",
-                      "semantic_cut_mixup", "center_source",
-                      "offset_source"]
+                      "semantic_mixup_weighted", "semantic_cut_mixup",
+                      "semantic_class_mixup", "semantic_conf_instance_mixup",
+                      "center_source", "offset_source"]
         metric_names = ["d_abs_rel", "d_a1", "d_a2", "d_a3", "d_rmse",
                         "d_rmse_log", "d_sq_rel"]
         meters = {
@@ -178,18 +179,14 @@ class AdaptationRunner:
             batch["target_replay"] = stack_domain(sample["target_replay"],
                                                   [])
         if mixup_samples:
+            # center/offset are omitted: no adaptation loss consumes
+            # them (see Mixup.do_mixup note).
             batch["mixup"] = {
                 "rgb": jnp.asarray(np.stack(
                     [np.asarray(m["rgb"][0], np.float32)
                      for m in mixup_samples])),
                 "semantic": jnp.asarray(np.stack(
                     [np.asarray(m["semantic"], np.int32)
-                     for m in mixup_samples])),
-                "center": jnp.asarray(np.stack(
-                    [np.asarray(m["center"], np.float32)
-                     for m in mixup_samples])),
-                "offset": jnp.asarray(np.stack(
-                    [np.asarray(m["offset"], np.float32)
                      for m in mixup_samples])),
                 "loss_weight": jnp.asarray(np.asarray(
                     [self.loss_weights.get(f"semantic_{m['strategy']}")
@@ -223,7 +220,8 @@ class AdaptationRunner:
             data["offset_pred_tgt_ema"] = offset[i]
             out = Mixup.do_mixup(strategy, data, self.thing_list,
                                  self.cfg.adapt.mixup, rng=self.mixup_rng,
-                                 num_classes=self.num_classes)
+                                 num_classes=self.num_classes,
+                                 get_off_cen=False)
             out["strategy"] = strategy
             composed.append(out)
         return composed
@@ -313,6 +311,15 @@ class AdaptationRunner:
                     if name in self.meters["losses"]:
                         self.meters["losses"][name].update(
                             np.asarray(value) / self.adaptation_steps)
+                # per-strategy mixup CE meters (reference logs
+                # semantic_cut_mixup etc., adapt_codeps.py:99)
+                if mixup_samples and "mixup_losses" in metrics:
+                    per_sample = np.asarray(metrics["mixup_losses"])
+                    for i, mix in enumerate(mixup_samples):
+                        name = f"semantic_{mix['strategy']}"
+                        if name in self.meters["losses"]:
+                            self.meters["losses"][name].update(
+                                per_sample[i] / self.adaptation_steps)
                 self.meters["losses"]["loss"].update(
                     np.asarray(metrics["loss_total"])
                     / self.adaptation_steps)

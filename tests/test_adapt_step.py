@@ -90,10 +90,6 @@ def _adapt_batch(num_source=2, num_replay=2, num_mixup=2):
                 0, 1, (num_mixup, HS, WS, 3)).astype(np.float32)),
             "semantic": jnp.asarray(RNG.integers(
                 0, NC, (num_mixup, HS, WS)).astype(np.int32)),
-            "center": jnp.asarray(RNG.uniform(
-                0, 1, (num_mixup, HS, WS, 1)).astype(np.float32)),
-            "offset": jnp.asarray(RNG.normal(
-                0, 4, (num_mixup, HS, WS, 2)).astype(np.float32)),
             "loss_weight": jnp.asarray([1.0, 0.0], jnp.float32),
         },
     }
