@@ -34,8 +34,8 @@ def main():
 
     from codeps_tpu.config import gen_config
     from codeps_tpu.models import build_modules, init_params
-    from codeps_tpu.tasks import AdaptState, build_optimizer
-    from codeps_tpu.tasks.adapt import DIST_BUFFER_LEN, make_adapt_step
+    from codeps_tpu.tasks import build_optimizer, make_adapt_state
+    from codeps_tpu.tasks.adapt import make_adapt_step
 
     preset = os.environ.get("BENCH_PRESET", "full")
     if preset == "tiny":
@@ -61,14 +61,10 @@ def main():
     frozen = ("backbone_po_depth", "instance_head")
     tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
                          frozen_modules=frozen)
-    state = AdaptState(
-        params=params, batch_stats=stats,
-        ema_params=jax.tree.map(lambda x: x, params),
-        ema_batch_stats=stats, opt_state=tx.init(params),
-        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(1),
-        dist_buffer=jnp.zeros((DIST_BUFFER_LEN,), jnp.float32),
-        dist_count=jnp.zeros((), jnp.int32),
-        dist_head=jnp.zeros((), jnp.int32))
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(1),
+                             ema_modules=("semantic_head",),
+                             frozen_modules=frozen,
+                             ema_alpha=cfg.adapt.ema.alpha)
 
     step = make_adapt_step(
         modules, cfg, tx, class_weights=[1.0] * num_classes,
@@ -121,11 +117,13 @@ def main():
         # host mixup composition + adapt step + buffer-add features.
         from codeps_tpu.data.mixup import Mixup
         from codeps_tpu.native.simindex import SimIndex
-        from codeps_tpu.tasks.adapt import make_eval_step, make_plabel_step
+        from codeps_tpu.tasks.adapt import make_eval_step
+        from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
 
         eval_step = make_eval_step(modules, cfg,
                                    thing_list=(9, 10, 11, 12, 13))
-        plabel_step = make_plabel_step(modules)
+        plabel_prep = make_plabel_prep_step(modules, (9, 10, 11, 12, 13),
+                                            (hs, ws), geom_augment=True)
         eval_batch = {"frames": batch["target"]["frames"],
                       "camera": batch["target"]["camera"]}
         mix_rgb_tgt = np.asarray(rng.uniform(
@@ -145,30 +143,35 @@ def main():
         sim_index = SimIndex(modules.backbone_po_depth.num_ch_enc[-1])
         host_rng = np.random.default_rng(0)
 
+        mix_rgb_tgt_dev = jnp.asarray(mix_rgb_tgt)
+        intr_src = jnp.tile(jnp.asarray(
+            [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32), (num_mixup, 1))
+        intr_tgt = jnp.tile(jnp.asarray(
+            [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32), (num_mixup, 1))
+
         def one_frame(state, frame_idx):
             results, _ = eval_step(state.ema_params, state.ema_batch_stats,
                                    eval_batch)
-            sem, ctr, off = plabel_step(state.ema_params,
-                                        state.ema_batch_stats,
-                                        jnp.asarray(mix_rgb_tgt))
-            sem_np, ctr_np, off_np = (np.asarray(sem), np.asarray(ctr),
-                                      np.asarray(off))
+            rgb_w, sem_w, inst_w = plabel_prep(
+                state.ema_params, state.ema_batch_stats, mix_rgb_tgt_dev,
+                intr_src, intr_tgt)
+            rgb_w, sem_w, inst_w = (np.asarray(rgb_w), np.asarray(sem_w),
+                                    np.asarray(inst_w))
             composed = []
             for i, material in enumerate(mix_materials):
-                data = dict(material)
-                data["semantic_pred_tgt_ema"] = sem_np[i]
-                data["center_pred_tgt_ema"] = ctr_np[i]
-                data["offset_pred_tgt_ema"] = off_np[i]
-                composed.append(Mixup.do_mixup(
-                    "cut_mixup", data, (9, 10, 11, 12, 13),
-                    cfg.adapt.mixup, rng=host_rng,
-                    num_classes=num_classes, get_off_cen=False))
+                rgb, semantic, _ = Mixup.cut_mixup(
+                    host_rng, np.asarray(material["rgb_src"][0]), rgb_w[i],
+                    material["instance_src"], material["semantic_src"],
+                    sem_w[i], inst_w[i],
+                    cfg.adapt.mixup.cut_mix.nof_vert_splits,
+                    cfg.adapt.mixup.cut_mix.nof_hor_splits,
+                    cfg.adapt.mixup.cut_mix.nof_segments)
+                composed.append((rgb, semantic))
             loop_batch = dict(batch)
             loop_batch["mixup"] = {
-                "rgb": jnp.asarray(np.stack(
-                    [c["rgb"][0] for c in composed])),
+                "rgb": jnp.asarray(np.stack([c[0] for c in composed])),
                 "semantic": jnp.asarray(np.stack(
-                    [c["semantic"] for c in composed]).astype(np.int32)),
+                    [c[1] for c in composed]).astype(np.int32)),
                 "loss_weight": batch["mixup"]["loss_weight"],
             }
             state, metrics, features = step(state, loop_batch)

@@ -193,14 +193,12 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     weights = {k: v for k, v in cfg.losses.weights.items()}
     num_scales = cfg.depth.num_recon_scales
     top_k = cfg.semantics.top_k
-    ema_alpha = cfg.adapt.ema.alpha
     make_depth = modules.depth_head is not None
     make_flow = modules.flow_head is not None
     make_semantic = modules.semantic_head is not None
     make_instance = modules.instance_head is not None
     ema_modules = tuple(ema_modules)
     frozen_modules = tuple(frozen_modules)
-    use_ema_teacher = len(ema_modules) > 0
     # Frozen modules run in eval mode: BatchNorm uses running averages
     # (adapt_codeps.py:262-265). Running-stat *updates* of live modules
     # are not threaded through the step (the EMA teacher's stats stay at
@@ -421,18 +419,11 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                                            state.params)
         new_params = optax.apply_updates(state.params, updates)
 
-        # ---------------- EMA blend (per-module alpha)
+        # ---------------- EMA blend with traced per-module alpha
+        # (state.ema_alpha): ema_alpha / 0=copy / 1=keep, parity with
+        # update_weights (online_adap.py:279-289, adapt_codeps.py:294-299).
         def blend(module_name, ema_tree, new_tree):
-            if module_name in ema_modules:
-                alpha = ema_alpha
-            elif module_name in frozen_modules:
-                alpha = 1.0
-            else:
-                alpha = 0.0
-            if alpha == 0.0:
-                return new_tree
-            if alpha == 1.0:
-                return ema_tree
+            alpha = state.ema_alpha[module_name]
             return jax.tree.map(
                 lambda e, p: alpha * e + (1.0 - alpha) * p,
                 ema_tree, new_tree)
@@ -440,10 +431,9 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         new_ema = {name: blend(name, state.ema_params[name],
                                new_params[name])
                    for name in new_params}
-        # Teacher batch stats track the student's (frozen modules keep
-        # eval-mode stats anyway).
-        new_ema_stats = state.ema_batch_stats if use_ema_teacher \
-            else state.batch_stats
+        # Teacher batch stats stay at their initial values (the reference
+        # EMA blends parameters only, never BN buffers).
+        new_ema_stats = state.ema_batch_stats
 
         metrics = {"loss_total": total, "target_skipped": skip,
                    **aux["losses"]}
@@ -454,7 +444,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             ema_params=new_ema, ema_batch_stats=new_ema_stats,
             opt_state=new_opt_state, step=state.step + 1, rng=rng,
             dist_buffer=dist_buffer, dist_count=dist_count,
-            dist_head=dist_head)
+            dist_head=dist_head, ema_alpha=state.ema_alpha)
         return new_state, metrics, aux["image_features"]
 
     return jax.jit(adapt_step, donate_argnums=(0,) if donate else ())

@@ -77,6 +77,11 @@ class AdaptationRunner:
         self.eval_step = make_eval_step(modules, cfg, self.thing_list,
                                         self.ignore_classes)
         self.plabel_step = make_plabel_step(modules)
+        from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
+        source_size = tuple(cfg.adapt.source_dataset.feed_img_size)
+        self.plabel_prep = make_plabel_prep_step(
+            modules, self.thing_list, source_size,
+            geom_augment=cfg.adapt.mixup.general.geom_augment)
         self.gt_panoptic = make_gt_panoptic_step(modules, self.thing_list)
 
         self.mixup_active = cfg.adapt.mixup.general.active
@@ -195,7 +200,9 @@ class AdaptationRunner:
         return batch
 
     def _compose_mixups(self, sample) -> List[Dict[str, Any]]:
-        """Teacher pseudo-labels + host composition for every mixup item."""
+        """Mixup samples: one fused device program (pseudo-labels +
+        panoptic fusion + geometric warp for the whole stack), then cheap
+        numpy mask composition on host."""
         items = []
         for key in MIXUP_KEYS:
             for item in sample.get(key, []):
@@ -203,6 +210,57 @@ class AdaptationRunner:
         if not items:
             return []
 
+        cfg_mixup = self.cfg.adapt.mixup
+        if not cfg_mixup.general.geom_augment:
+            # Non-geometric path: per-item host composition (reference
+            # resizes instead of warping; rare configuration).
+            return self._compose_mixups_unfused(items)
+
+        rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0], np.float32)
+                            for _, item in items])
+        intr_src = np.stack([np.asarray(item["camera_model_src"],
+                                        np.float32) for _, item in items])
+        intr_tgt = np.stack([np.asarray(item["camera_model_tgt"],
+                                        np.float32) for _, item in items])
+        rgb_w, sem_w, inst_w = self.plabel_prep(
+            self.state.ema_params, self.state.ema_batch_stats,
+            jnp.asarray(rgb_tgt), jnp.asarray(intr_src),
+            jnp.asarray(intr_tgt))
+        rgb_w = np.asarray(rgb_w)
+        sem_w = np.asarray(sem_w)
+        inst_w = np.asarray(inst_w)
+
+        composed = []
+        for i, (strategy, item) in enumerate(items):
+            img_src = np.asarray(item["rgb_src"][0], np.float32)
+            semantic_src = np.asarray(item["semantic_src"])
+            instance_src = np.asarray(item["instance_src"])
+            if strategy == "cut_mixup":
+                rgb, semantic, instance = Mixup.cut_mixup(
+                    self.mixup_rng, img_src, rgb_w[i], instance_src,
+                    semantic_src, sem_w[i], inst_w[i],
+                    cfg_mixup.cut_mix.nof_vert_splits,
+                    cfg_mixup.cut_mix.nof_hor_splits,
+                    cfg_mixup.cut_mix.nof_segments)
+            elif strategy == "class_mixup":
+                rgb, semantic, instance = Mixup.class_mixup(
+                    self.mixup_rng, img_src, rgb_w[i], instance_src,
+                    semantic_src, sem_w[i], inst_w[i])
+            else:  # conf_instance_mixup
+                rgb, semantic, instance = Mixup.conf_instance_mixup(
+                    img_src, rgb_w[i], instance_src, semantic_src,
+                    sem_w[i], inst_w[i],
+                    cfg_mixup.conf_instance_mix.min_inst_size)
+            composed.append({
+                "rgb": {0: rgb},
+                "camera_model": item["camera_model_src"],
+                "semantic": semantic,
+                "instance": instance,
+                "strategy": strategy,
+            })
+        return composed
+
+    def _compose_mixups_unfused(self, items) -> List[Dict[str, Any]]:
         rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0], np.float32)
                             for _, item in items])
         sem, center, offset = self.plabel_step(

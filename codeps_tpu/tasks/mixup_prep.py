@@ -1,0 +1,108 @@
+"""Fused device-side mixup preparation.
+
+One jitted program per frame replaces the reference's scattered per-item
+device work (adapt_codeps.py:174-199 + mixup.py:405-444): for the whole
+stack of Nm mixup items it computes the teacher's semantic/center/offset
+predictions, panoptic-fuses them into pseudo instance labels, and applies
+the geometric camera-to-camera warp into the source frame — one dispatch,
+one fetch. The host then does only cheap numpy mask composition.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.models.codeps_net import CodepsModules
+from codeps_tpu.ops.grid_sample import grid_sample
+from codeps_tpu.ops.panoptic import get_panoptic_segmentation
+from codeps_tpu.tasks.forward import apply_encoder
+
+
+def c2c_grid(intr_src: jnp.ndarray, intr_tgt: jnp.ndarray,
+             src_size: tuple[int, int],
+             out_size: tuple[int, int]) -> jnp.ndarray:
+    """Normalized sampling grid for the unit-depth camera-to-camera warp.
+
+    Parity: Mixup.warp_c2c / _src_pcl_to_tgt (mixup.py:28-66, 210-229).
+
+    Args:
+      intr_src: (B, 4) intrinsics of the *sampled* image.
+      intr_tgt: (B, 4) intrinsics of the output frame.
+    Returns:
+      (B, out_h, out_w, 2) grid for grid_sample over a src_size image.
+    """
+    out_h, out_w = out_size
+    src_h, src_w = src_size
+    fx_t = intr_tgt[:, 0][:, None, None]
+    fy_t = intr_tgt[:, 1][:, None, None]
+    cx_t = intr_tgt[:, 2][:, None, None]
+    cy_t = intr_tgt[:, 3][:, None, None]
+    fx_s = intr_src[:, 0][:, None, None]
+    fy_s = intr_src[:, 1][:, None, None]
+    cx_s = intr_src[:, 2][:, None, None]
+    cy_s = intr_src[:, 3][:, None, None]
+
+    u = jnp.arange(out_w, dtype=jnp.float32)[None, None, :]
+    v = jnp.arange(out_h, dtype=jnp.float32)[None, :, None]
+    x3d = (u - cx_t) / fx_t
+    y3d = (v - cy_t) / fy_t
+    u2d = x3d * fx_s + cx_s
+    v2d = y3d * fy_s + cy_s
+    grid_u = (u2d / (src_w - 1) - 0.5) * 2.0
+    grid_v = (v2d / (src_h - 1) - 0.5) * 2.0
+    grid_u = jnp.broadcast_to(grid_u, (intr_src.shape[0], out_h, out_w))
+    grid_v = jnp.broadcast_to(grid_v, (intr_src.shape[0], out_h, out_w))
+    return jnp.stack([grid_u, grid_v], axis=-1)
+
+
+def make_plabel_prep_step(modules: CodepsModules, thing_list,
+                          src_size: tuple[int, int],
+                          geom_augment: bool = True):
+    """Build the fused pseudo-label + fusion + warp program.
+
+    fn(params, batch_stats, rgb_tgt (Nm, Ht, Wt, 3), intr_src (Nm, 4),
+       intr_tgt (Nm, 4)) ->
+      (rgb_warped (Nm, Hs, Ws, 3), semantic_warped (Nm, Hs, Ws) int32,
+       instance_warped (Nm, Hs, Ws) int32) — in the source frame when
+      geom_augment, else at target resolution.
+    """
+    thing_list = tuple(thing_list)
+    num_classes = modules.num_classes
+
+    def prep(params, batch_stats, rgb_tgt, intr_src, intr_tgt):
+        feats, _ = apply_encoder(
+            modules.backbone_po_depth, params["backbone_po_depth"],
+            batch_stats["backbone_po_depth"], rgb_tgt, train=False)
+        sem_probs = modules.semantic_head.apply(
+            {"params": params["semantic_head"]}, feats)
+        sem_pred = jnp.argmax(sem_probs, axis=-1).astype(jnp.int32)
+        center, offset, _ = modules.instance_head.apply(
+            {"params": params["instance_head"],
+             "batch_stats": batch_stats["instance_head"]},
+            feats, train=False)
+
+        def fuse(sem, ctr, off):
+            _, inst, _ = get_panoptic_segmentation(
+                sem, ctr[..., 0], off, thing_list,
+                num_classes=num_classes, do_merge=False)
+            return inst
+
+        instance = jax.vmap(fuse)(sem_pred, center, offset)
+
+        if not geom_augment:
+            return rgb_tgt, sem_pred, instance
+
+        tgt_size = rgb_tgt.shape[1:3]
+        grid = c2c_grid(intr_tgt, intr_src, tgt_size, src_size)
+        rgb_w = grid_sample(rgb_tgt, grid, mode="bilinear",
+                            padding_mode="zeros")
+        inst_w = grid_sample(instance.astype(jnp.float32)[..., None], grid,
+                             mode="nearest",
+                             padding_mode="zeros")[..., 0].astype(jnp.int32)
+        sem_w = grid_sample(sem_pred.astype(jnp.float32)[..., None], grid,
+                            mode="nearest",
+                            padding_mode="border")[..., 0].astype(jnp.int32)
+        return rgb_w, sem_w, inst_w
+
+    return jax.jit(prep)

@@ -53,8 +53,7 @@ def main():
     from codeps_tpu.io import (init_logging, log_info,
                                pretrained_from_checkpoints)
     from codeps_tpu.models import build_modules, init_params
-    from codeps_tpu.tasks import AdaptState, build_optimizer
-    from codeps_tpu.tasks.adapt import DIST_BUFFER_LEN
+    from codeps_tpu.tasks import build_optimizer, make_adapt_state
     from codeps_tpu.tasks.adapt_loop import AdaptationRunner
 
     cfg = gen_config(args.filename_config, adapt=True)
@@ -130,14 +129,16 @@ def main():
 
     tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
                          frozen_modules=frozen)
-    state = AdaptState(
-        params=params, batch_stats=batch_stats,
-        ema_params=jax.tree.map(lambda x: x, params),
-        ema_batch_stats=batch_stats, opt_state=tx.init(params),
-        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(args.seed),
-        dist_buffer=jnp.zeros((DIST_BUFFER_LEN,), jnp.float32),
-        dist_count=jnp.zeros((), jnp.int32),
-        dist_head=jnp.zeros((), jnp.int32))
+    ema_modules = []
+    if cfg.adapt.ema.semantic and cfg.adapt.model.semantic:
+        ema_modules.append("semantic_head")
+    if cfg.adapt.ema.instance and cfg.adapt.model.instance:
+        ema_modules.append("instance_head")
+    state = make_adapt_state(params, batch_stats, tx,
+                             jax.random.PRNGKey(args.seed),
+                             ema_modules=ema_modules,
+                             frozen_modules=frozen,
+                             ema_alpha=cfg.adapt.ema.alpha)
 
     runner = AdaptationRunner(cfg, modules, state, tx, replay_buffer,
                               frozen_modules=frozen,
@@ -154,6 +155,56 @@ def main():
     if args.save_buffer_state:
         replay_buffer.save_state(args.save_buffer_state)
         log_info("Saved buffer state to %s", args.save_buffer_state)
+
+    # ---------------- held-out target validation + source forgetting eval
+    # (adapt_codeps.py:449-458); the adapted EMA teacher is evaluated,
+    # matching the reference's returned model.
+    from codeps_tpu.data import DataLoader
+    from codeps_tpu.tasks.validate import run_validation
+
+    final_params = runner.state.ema_params
+    final_stats = runner.state.ema_batch_stats
+
+    if cfg.dataset.name == "sem_kitti_dvps":
+        val_target = SemKittiDvps("sequence", cfg.dataset,
+                                  return_depth=True,
+                                  sequences=list(cfg.dataset.sequences),
+                                  label_mode=cfg.dataset.label_mode)
+    else:
+        val_target = Kitti360("sequence", cfg.dataset, return_depth=True,
+                              sequences=list(cfg.dataset.sequences),
+                              sequence_reference_mode="rgb",
+                              label_mode=cfg.dataset.label_mode)
+    val_buffer = ReplayBuffer(val_target, cfg.adapt, mode="val")
+    if len(val_buffer) > 0:
+        max_batches = (max(1, args.max_frames) if args.max_frames
+                       else None)
+        val_loader = DataLoader(val_buffer, batch_size=1,
+                                offsets=cfg.dataset.offsets, shuffle=False,
+                                num_threads=1)
+        metrics = run_validation(cfg, modules, final_params, final_stats,
+                                 val_loader, runner.thing_list,
+                                 runner.stuff_list, runner.ignore_classes,
+                                 max_batches=max_batches)
+        log_info("Target val: %s",
+                 {k: round(float(v), 4) for k, v in metrics.items()
+                  if np.ndim(v) == 0})
+
+    source_val = Cityscapes("val", cfg.adapt.source_dataset,
+                            label_mode=cfg.dataset.label_mode)
+    if len(source_val) > 0:
+        max_batches = (max(1, args.max_frames) if args.max_frames
+                       else None)
+        source_loader = DataLoader(source_val, batch_size=1,
+                                   offsets=cfg.adapt.source_dataset.offsets,
+                                   shuffle=False, num_threads=1)
+        metrics = run_validation(cfg, modules, final_params, final_stats,
+                                 source_loader, runner.thing_list,
+                                 runner.stuff_list, (),
+                                 max_batches=max_batches)
+        log_info("Source val (forgetting): %s",
+                 {k: round(float(v), 4) for k, v in metrics.items()
+                  if np.ndim(v) == 0})
 
     log_info("End of adaptation script!")
 

@@ -161,6 +161,18 @@ def main():
             str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg, epoch,
             global_step, jax.device_get(state.params),
             jax.device_get(state.batch_stats))
+
+        if (len(val_dataset) > 0
+                and (epoch + 1) % cfg.logging.val_epoch_interval == 0):
+            from codeps_tpu.tasks.validate import run_validation
+            metrics = run_validation(
+                cfg, modules, state.params, state.batch_stats, val_loader,
+                train_dataset.thing_classes, train_dataset.stuff_classes,
+                train_dataset.ignore_classes)
+            log_info("Val epoch %d: %s", epoch,
+                     {k: round(float(v), 4) for k, v in metrics.items()
+                      if np.ndim(v) == 0})
+
         if args.max_steps and global_step >= args.max_steps:
             break
 

@@ -1,0 +1,84 @@
+"""Integration: the full AdaptationRunner over synthetic dataset trees."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from codeps_tpu.config import gen_config
+from codeps_tpu.data import Cityscapes, Kitti360
+from codeps_tpu.data.replay_buffer import ReplayBuffer
+from codeps_tpu.data.synthetic import make_cityscapes_tree, make_kitti360_tree
+from codeps_tpu.models import build_modules, init_params
+from codeps_tpu.tasks import build_optimizer, make_adapt_state
+from codeps_tpu.tasks.adapt_loop import AdaptationRunner
+
+NC = 14
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("adapt_loop")
+    cs_root = make_cityscapes_tree(tmp_path / "cs", num_frames=6,
+                                   width=96, height=64)
+    k360_root = make_kitti360_tree(tmp_path / "k360", num_frames=8,
+                                   width=96, height=64)
+    cfg = gen_config(adapt=True, freeze=False)
+    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.dataset.name = "kitti_360"
+    cfg.dataset.path = str(k360_root)
+    cfg.dataset.feed_img_size = [32, 64]
+    cfg.dataset.center_heatmap_sigma = 4
+    cfg.adapt.source_dataset.name = "cityscapes"
+    cfg.adapt.source_dataset.path = str(cs_root)
+    cfg.adapt.source_dataset.feed_img_size = [32, 64]
+    cfg.adapt.replay_sampler.nof_source_samples = 2
+    cfg.adapt.replay_sampler.nof_target_samples = 2
+    cfg.adapt.replay_buffer.maximize_diversity = True
+    cfg.adapt.replay_buffer.target_size = 3
+    cfg.adapt.mixup.general.nof_samples = 2
+    cfg.adapt.mixup.general.mixup_strategies = ["cut_mixup",
+                                                "conf_instance_mixup"]
+    cfg.adapt.ema.semantic = True
+    cfg.adapt.model.backbone_po_depth = False
+    cfg.adapt.model.instance = False
+    cfg.semantics.class_weights = [1.0] * NC
+    cfg.freeze()
+    return cfg
+
+
+def test_adaptation_runner_streams(setup):
+    cfg = setup
+    target = Kitti360("sequence", cfg.dataset, return_depth=True,
+                      sequences=["03"], sequence_reference_mode="rgb",
+                      label_mode="codeps")
+    buffer = ReplayBuffer(target, cfg.adapt, "train")
+    source = Cityscapes("train", cfg.adapt.source_dataset,
+                        label_mode="codeps")
+    buffer.initialize_source_buffer(source, None)
+
+    modules = build_modules(cfg, NC)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+    frozen = ["backbone_po_depth", "instance_head"]
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(1),
+                             ema_modules=("semantic_head",),
+                             frozen_modules=frozen, ema_alpha=0.99)
+
+    runner = AdaptationRunner(cfg, modules, state, tx, buffer,
+                              frozen_modules=frozen, verbose=False)
+    meters = runner.run(max_frames=3)
+
+    # losses were recorded
+    assert meters["losses"]["loss"].count >= 3
+    assert meters["losses"]["semantic_source"].count >= 3
+    assert float(meters["losses"]["semantic_cut_mixup"].count) >= 3
+    # metrics stream: conf matrix accumulated over all frames
+    assert meters["metrics"]["sem_conf"].sum.sum() > 0
+    assert 0.0 <= float(meters["metrics"]["sem_miou"].value) <= 1.0
+    # student stepped 3 times; frames entered the diversity buffer
+    assert int(runner.state.step) == 3
+    assert runner.buffer.sim_index is not None
+    assert runner.buffer.sim_index.ntotal >= 1

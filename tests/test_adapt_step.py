@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from codeps_tpu.config import gen_config
 from codeps_tpu.models import build_modules, init_params
-from codeps_tpu.tasks import AdaptState, build_optimizer
+from codeps_tpu.tasks import build_optimizer, make_adapt_state
 from codeps_tpu.tasks.adapt import (DIST_BUFFER_LEN, make_adapt_step,
                                     make_eval_step, make_gt_panoptic_step,
                                     make_plabel_step, update_ring_buffer)
@@ -36,14 +36,9 @@ def _modules_state(cfg, frozen=("backbone_po_depth", "instance_head")):
     params, stats = init_params(jax.random.PRNGKey(0), modules, (HT, WT))
     tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
                          frozen_modules=frozen)
-    ema_params = jax.tree.map(lambda x: x, params)
-    state = AdaptState(
-        params=params, batch_stats=stats, ema_params=ema_params,
-        ema_batch_stats=stats, opt_state=tx.init(params),
-        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(2),
-        dist_buffer=jnp.zeros((DIST_BUFFER_LEN,), jnp.float32),
-        dist_count=jnp.zeros((), jnp.int32),
-        dist_head=jnp.zeros((), jnp.int32))
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(2),
+                             ema_modules=("semantic_head",),
+                             frozen_modules=frozen, ema_alpha=0.99)
     return modules, state, tx
 
 
