@@ -66,10 +66,12 @@ def main():
                              frozen_modules=frozen,
                              ema_alpha=cfg.adapt.ema.alpha)
 
+    mode = os.environ.get("BENCH_MODE", "step")
     step = make_adapt_step(
         modules, cfg, tx, class_weights=[1.0] * num_classes,
         ema_modules=("semantic_head",), frozen_modules=frozen,
-        has_replay=True, num_mixup=num_mixup, donate=True)
+        has_replay=True, num_mixup=num_mixup,
+        fused_cut_mixup=(mode == "loop"), donate=True)
 
     rng = np.random.default_rng(0)
 
@@ -111,69 +113,47 @@ def main():
         },
     }
 
-    mode = os.environ.get("BENCH_MODE", "step")
     if mode == "loop":
-        # Full per-frame adaptation loop: teacher eval + pseudo-labels +
-        # host mixup composition + adapt step + buffer-add features.
-        from codeps_tpu.data.mixup import Mixup
+        # Full per-frame adaptation loop with the fused cut-mixup step:
+        # teacher eval + one adapt step (pseudo-labels, warp, composition
+        # all in-jit) + buffer-add features. Per frame the host only
+        # draws cut cells and uploads fresh frame data.
         from codeps_tpu.native.simindex import SimIndex
         from codeps_tpu.tasks.adapt import make_eval_step
-        from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
 
         eval_step = make_eval_step(modules, cfg,
                                    thing_list=(9, 10, 11, 12, 13))
-        plabel_prep = make_plabel_prep_step(modules, (9, 10, 11, 12, 13),
-                                            (hs, ws), geom_augment=True)
         eval_batch = {"frames": batch["target"]["frames"],
                       "camera": batch["target"]["camera"]}
-        mix_rgb_tgt = np.asarray(rng.uniform(
-            0, 1, (num_mixup, ht, wt, 3)), np.float32)
-        mix_materials = [{
-            "rgb_src": {0: np.asarray(batch["mixup"]["rgb"][i])},
-            "rgb_tgt": {0: mix_rgb_tgt[i]},
-            "semantic_src": rng.integers(0, num_classes, (hs, ws)
-                                         ).astype(np.uint8),
-            "instance_src": np.zeros((hs, ws), np.int32),
-            "camera_model_src": np.asarray([600.0, 600.0, ws / 2, hs / 2],
-                                           np.float32),
-            "camera_model_tgt": np.asarray([720.0, 720.0, wt / 2, ht / 2],
-                                           np.float32),
-            "tgt_is_replay": 0,
-        } for i in range(num_mixup)]
+        nof_splits = (cfg.adapt.mixup.cut_mix.nof_vert_splits
+                      * cfg.adapt.mixup.cut_mix.nof_hor_splits)
+        nof_segments = cfg.adapt.mixup.cut_mix.nof_segments
+        mix_rgb_tgt = jnp.asarray(rng.uniform(
+            0, 1, (num_mixup, ht, wt, 3)).astype(np.float32))
+        loop_batch = dict(batch)
+        loop_batch["mixup"] = {
+            "rgb_src": batch["mixup"]["rgb"],
+            "semantic_src": batch["mixup"]["semantic"],
+            "rgb_tgt": mix_rgb_tgt,
+            "intr_src": jnp.tile(jnp.asarray(
+                [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32),
+                (num_mixup, 1)),
+            "intr_tgt": jnp.tile(jnp.asarray(
+                [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
+                (num_mixup, 1)),
+            "cut_cells": jnp.zeros((num_mixup, nof_segments), jnp.int32),
+            "loss_weight": batch["mixup"]["loss_weight"],
+        }
         sim_index = SimIndex(modules.backbone_po_depth.num_ch_enc[-1])
         host_rng = np.random.default_rng(0)
-
-        mix_rgb_tgt_dev = jnp.asarray(mix_rgb_tgt)
-        intr_src = jnp.tile(jnp.asarray(
-            [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32), (num_mixup, 1))
-        intr_tgt = jnp.tile(jnp.asarray(
-            [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32), (num_mixup, 1))
 
         def one_frame(state, frame_idx):
             results, _ = eval_step(state.ema_params, state.ema_batch_stats,
                                    eval_batch)
-            rgb_w, sem_w, inst_w = plabel_prep(
-                state.ema_params, state.ema_batch_stats, mix_rgb_tgt_dev,
-                intr_src, intr_tgt)
-            rgb_w, sem_w, inst_w = (np.asarray(rgb_w), np.asarray(sem_w),
-                                    np.asarray(inst_w))
-            composed = []
-            for i, material in enumerate(mix_materials):
-                rgb, semantic, _ = Mixup.cut_mixup(
-                    host_rng, np.asarray(material["rgb_src"][0]), rgb_w[i],
-                    material["instance_src"], material["semantic_src"],
-                    sem_w[i], inst_w[i],
-                    cfg.adapt.mixup.cut_mix.nof_vert_splits,
-                    cfg.adapt.mixup.cut_mix.nof_hor_splits,
-                    cfg.adapt.mixup.cut_mix.nof_segments)
-                composed.append((rgb, semantic))
-            loop_batch = dict(batch)
-            loop_batch["mixup"] = {
-                "rgb": jnp.asarray(np.stack([c[0] for c in composed])),
-                "semantic": jnp.asarray(np.stack(
-                    [c[1] for c in composed]).astype(np.int32)),
-                "loss_weight": batch["mixup"]["loss_weight"],
-            }
+            cells = np.stack([host_rng.choice(nof_splits, nof_segments,
+                                              replace=False)
+                              for _ in range(num_mixup)]).astype(np.int32)
+            loop_batch["mixup"]["cut_cells"] = jnp.asarray(cells)
             state, metrics, features = step(state, loop_batch)
             feats = np.asarray(features)[0].mean(axis=(0, 1))[None]
             feats /= max(np.linalg.norm(feats), 1e-9)

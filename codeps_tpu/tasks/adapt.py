@@ -171,6 +171,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     frozen_modules: Sequence[str] = (),
                     has_replay: bool = True,
                     num_mixup: int = 0,
+                    fused_cut_mixup: bool = False,
                     sem_ignore_classes=None,
                     donate: bool = True):
     """Build the jitted adaptation train step.
@@ -181,9 +182,15 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
               semantic_weights, center(+weights), offset(+weights),
               thing_mask
       target_replay (when has_replay): frames (Nr, 3, Ht, Wt, 3), camera
-      mixup (when strategies non-empty): rgb (Nm, Hs, Ws, 3), semantic,
-              center, offset — composed pseudo-labeled samples, in
-              strategy order.
+      mixup (when num_mixup > 0): either composed samples
+              {rgb (Nm, Hs, Ws, 3), semantic (Nm, Hs, Ws), loss_weight}
+              or, with fused_cut_mixup, the raw materials
+              {rgb_src, semantic_src, rgb_tgt, intr_src, intr_tgt,
+               cut_cells (Nm, nof_segments) int32, loss_weight} — the
+              teacher pseudo-labeling, panoptic fusion, camera warp, and
+              cut composition then run INSIDE this jit (parity with the
+              reference, which composes mixup inside every adapt forward,
+              online_adap.py:330-335).
 
     The EMA blend runs in the same jit: per-module alpha (ema_alpha for
     EMA-filtered modules, 0=copy for the rest, 1=keep for frozen), parity
@@ -207,6 +214,73 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     encoder_train = "backbone_po_depth" not in frozen_modules
     pose_train = "backbone_pose_sflow" not in frozen_modules
     instance_train = "instance_head" not in frozen_modules
+
+    cut_cfg = cfg.adapt.mixup.cut_mix
+    geom_augment = cfg.adapt.mixup.general.geom_augment
+    thing_list = None
+    if fused_cut_mixup:
+        from codeps_tpu.data.labels import thing_classes
+        thing_list = tuple(thing_classes(cfg.dataset.label_mode,
+                                         list(cfg.dataset.remove_classes)))
+
+    def _compose_cut_mixup(teacher, mixup):
+        """Teacher pseudo-labels + c2c warp + cut composition, traced.
+
+        The cut mask mirrors Mixup.cut_mixup incl. the reference's 1px
+        seams (cells end at (k+1)*crop - 1, mixup.py:139-143).
+        """
+        from codeps_tpu.ops.grid_sample import grid_sample
+        from codeps_tpu.ops.panoptic import get_panoptic_segmentation
+        from codeps_tpu.tasks.mixup_prep import c2c_grid
+
+        ema_params, ema_stats = teacher
+        rgb_tgt = mixup["rgb_tgt"]          # (Nm, Ht, Wt, 3)
+        rgb_src = mixup["rgb_src"]          # (Nm, Hs, Ws, 3)
+        semantic_src = mixup["semantic_src"]
+
+        feats, _ = apply_encoder(
+            modules.backbone_po_depth, ema_params["backbone_po_depth"],
+            ema_stats["backbone_po_depth"], rgb_tgt, train=False)
+        sem_probs = modules.semantic_head.apply(
+            {"params": ema_params["semantic_head"]}, feats)
+        sem_pred = jnp.argmax(sem_probs, axis=-1).astype(jnp.int32)
+        sem_pred = jax.lax.stop_gradient(sem_pred)
+        # (instance pseudo-labels are fused in the reference but only the
+        # semantic map feeds a loss; centers/offsets of mixup samples are
+        # never consumed — see instance_seg.py:177-182.)
+
+        if geom_augment:
+            src_size = rgb_src.shape[1:3]
+            grid = c2c_grid(mixup["intr_tgt"], mixup["intr_src"],
+                            rgb_tgt.shape[1:3], src_size)
+            rgb_tgt_w = grid_sample(rgb_tgt, grid, mode="bilinear",
+                                    padding_mode="zeros")
+            sem_w = grid_sample(
+                sem_pred.astype(jnp.float32)[..., None], grid,
+                mode="nearest",
+                padding_mode="border")[..., 0].astype(jnp.int32)
+        else:
+            rgb_tgt_w, sem_w = rgb_tgt, sem_pred
+
+        # cut mask from traced cell ids (drawn on host with the same RNG
+        # stream as the unfused path)
+        height, width = rgb_src.shape[1:3]
+        crop_h = height // cut_cfg.nof_vert_splits
+        crop_w = width // cut_cfg.nof_hor_splits
+        yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        cells = mixup["cut_cells"]          # (Nm, nof_segments)
+        mul_x = (cells % cut_cfg.nof_hor_splits)[:, :, None, None]
+        mul_y = (cells // cut_cfg.nof_hor_splits)[:, :, None, None]
+        in_cell = ((yy >= mul_y * crop_h)
+                   & (yy < (mul_y + 1) * crop_h - 1)
+                   & (xx >= mul_x * crop_w)
+                   & (xx < (mul_x + 1) * crop_w - 1))
+        mask = jnp.any(in_cell, axis=1)     # (Nm, H, W)
+
+        rgb_mix = jnp.where(mask[..., None], rgb_tgt_w, rgb_src)
+        sem_mix = jnp.where(mask, sem_w, semantic_src)
+        return jax.lax.stop_gradient(rgb_mix), sem_mix
 
     def _depth_domain(params, batch_stats, frames, camera, rng):
         """Depth losses for one domain; returns (recon, smth, flow_losses,
@@ -235,7 +309,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                            flow_sparsity_loss(fwd["object_motion_maps"]))
         return recon, smth, flow_losses, fwd["transformations"], feats_t
 
-    def loss_fn(params, batch_stats, rng, batch, target_skip):
+    def loss_fn(params, batch_stats, rng, batch, target_skip, teacher):
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
 
@@ -308,18 +382,24 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             # the compiled step is independent of the per-frame strategy
             # draw order.
             if num_mixup > 0:
+                if fused_cut_mixup:
+                    mix_rgb, mix_semantic = _compose_cut_mixup(
+                        teacher, batch["mixup"])
+                else:
+                    mix_rgb = batch["mixup"]["rgb"]
+                    mix_semantic = batch["mixup"]["semantic"]
                 mix_feats, _ = apply_encoder(
                     modules.backbone_po_depth, params["backbone_po_depth"],
                     batch_stats["backbone_po_depth"],
-                    batch["mixup"]["rgb"], train=encoder_train)
+                    mix_rgb, train=encoder_train)
                 sem_mix = modules.semantic_head.apply(
                     {"params": params["semantic_head"]}, mix_feats)
                 per_sample = []
                 for i in range(num_mixup):
                     per_sample.append(semantic_loss(
                         sem_mix[i:i + 1],
-                        batch["mixup"]["semantic"][i:i + 1],
-                        jnp.ones_like(batch["mixup"]["semantic"][i:i + 1],
+                        mix_semantic[i:i + 1],
+                        jnp.ones_like(mix_semantic[i:i + 1],
                                       dtype=jnp.float32),
                         class_weights=class_weights,
                         ignore_labels=sem_ignore_classes,
@@ -411,9 +491,10 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 state.dist_buffer, state.dist_count, state.dist_head)
             skip = jnp.asarray(False)
 
+        teacher = (state.ema_params, state.ema_batch_stats)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (total, aux), grads = grad_fn(state.params, state.batch_stats,
-                                      sub_loss, batch, skip)
+                                      sub_loss, batch, skip, teacher)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)

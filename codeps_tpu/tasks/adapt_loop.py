@@ -87,10 +87,17 @@ class AdaptationRunner:
         self.mixup_active = cfg.adapt.mixup.general.active
         num_mixup = (cfg.adapt.mixup.general.nof_samples
                      if self.mixup_active else 0)
+        strategies = list(cfg.adapt.mixup.general.mixup_strategies)
+        # The published adapt configs use only cut_mixup — that path runs
+        # entirely inside the adapt step (teacher pseudo-labels + warp +
+        # composition), eliminating all mixup host round-trips.
+        self.fused_mixup = (self.mixup_active and num_mixup > 0
+                            and all(s == "cut_mixup" for s in strategies))
         common = dict(
             modules=modules, cfg=cfg, tx=tx, class_weights=class_weights,
             ema_modules=self.ema_modules,
             frozen_modules=self.frozen_modules, num_mixup=num_mixup,
+            fused_cut_mixup=self.fused_mixup,
             sem_ignore_classes=list(self.ignore_classes) or None)
         self.adapt_step_with_replay = make_adapt_step(has_replay=True,
                                                       **common)
@@ -183,7 +190,37 @@ class AdaptationRunner:
         if "target_replay" in sample:
             batch["target_replay"] = stack_domain(sample["target_replay"],
                                                   [])
-        if mixup_samples:
+        if self.fused_mixup and "cut_mixup" in sample:
+            items = sample["cut_mixup"]
+            nof_splits = (self.cfg.adapt.mixup.cut_mix.nof_vert_splits
+                          * self.cfg.adapt.mixup.cut_mix.nof_hor_splits)
+            nof_segments = self.cfg.adapt.mixup.cut_mix.nof_segments
+            cut_cells = np.stack([
+                self.mixup_rng.choice(nof_splits, nof_segments,
+                                      replace=False)
+                for _ in items]).astype(np.int32)
+            weight = self.loss_weights.get("semantic_cut_mixup") or 0.0
+            batch["mixup"] = {
+                "rgb_src": jnp.asarray(np.stack(
+                    [np.asarray(m["rgb_src"][0], np.float32)
+                     for m in items])),
+                "semantic_src": jnp.asarray(np.stack(
+                    [np.asarray(m["semantic_src"]) for m in items]).astype(
+                        np.int32)),
+                "rgb_tgt": jnp.asarray(np.stack(
+                    [np.asarray(m["rgb_tgt"][0], np.float32)
+                     for m in items])),
+                "intr_src": jnp.asarray(np.stack(
+                    [np.asarray(m["camera_model_src"], np.float32)
+                     for m in items])),
+                "intr_tgt": jnp.asarray(np.stack(
+                    [np.asarray(m["camera_model_tgt"], np.float32)
+                     for m in items])),
+                "cut_cells": jnp.asarray(cut_cells),
+                "loss_weight": jnp.full((len(items),), weight,
+                                        jnp.float32),
+            }
+        elif mixup_samples:
             # center/offset are omitted: no adaptation loss consumes
             # them (see Mixup.do_mixup note).
             batch["mixup"] = {
@@ -352,9 +389,11 @@ class AdaptationRunner:
             self._update_metrics(sample, eval_batch, results, stats)
 
             if not self.disable_adaptation:
-                # 2. mixup pseudo-labels + composition
-                mixup_samples = (self._compose_mixups(sample)
-                                 if self.mixup_active else [])
+                # 2. mixup pseudo-labels + composition (host path only;
+                # the fused cut-mixup path composes inside the step)
+                mixup_samples = []
+                if self.mixup_active and not self.fused_mixup:
+                    mixup_samples = self._compose_mixups(sample)
 
                 # 3. jitted gradient steps
                 batch = self._adapt_batch(sample, mixup_samples)
@@ -371,10 +410,15 @@ class AdaptationRunner:
                             np.asarray(value) / self.adaptation_steps)
                 # per-strategy mixup CE meters (reference logs
                 # semantic_cut_mixup etc., adapt_codeps.py:99)
-                if mixup_samples and "mixup_losses" in metrics:
+                if "mixup_losses" in metrics:
                     per_sample = np.asarray(metrics["mixup_losses"])
-                    for i, mix in enumerate(mixup_samples):
-                        name = f"semantic_{mix['strategy']}"
+                    if self.fused_mixup:
+                        strategies_used = ["cut_mixup"] * len(per_sample)
+                    else:
+                        strategies_used = [m["strategy"]
+                                           for m in mixup_samples]
+                    for i, strategy in enumerate(strategies_used):
+                        name = f"semantic_{strategy}"
                         if name in self.meters["losses"]:
                             self.meters["losses"][name].update(
                                 per_sample[i] / self.adaptation_steps)

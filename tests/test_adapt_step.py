@@ -194,3 +194,38 @@ def test_adapt_step_end_to_end():
         state.ema_params["backbone_po_depth"])
     assert max(jax.tree.leaves(frozen_ema_delta)) == 0
     assert int(new_state.dist_count) == 1
+
+
+def test_adapt_step_fused_cut_mixup():
+    """In-jit mixup path: teacher pseudo-labels + c2c warp + cut
+    composition inside the adapt step."""
+    cfg = _cfg()
+    frozen = ("backbone_po_depth", "instance_head")
+    modules, state, tx = _modules_state(cfg, frozen)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=2, fused_cut_mixup=True, donate=False)
+
+    batch = _adapt_batch()
+    num_mixup = 2
+    batch["mixup"] = {
+        "rgb_src": jnp.asarray(RNG.uniform(
+            0, 1, (num_mixup, HS, WS, 3)).astype(np.float32)),
+        "semantic_src": jnp.asarray(RNG.integers(
+            0, NC, (num_mixup, HS, WS)).astype(np.int32)),
+        "rgb_tgt": jnp.asarray(RNG.uniform(
+            0, 1, (num_mixup, HT, WT, 3)).astype(np.float32)),
+        "intr_src": jnp.tile(jnp.asarray(
+            [[28.0, 28.0, WS / 2, HS / 2]], jnp.float32), (num_mixup, 1)),
+        "intr_tgt": jnp.tile(jnp.asarray(
+            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num_mixup, 1)),
+        "cut_cells": jnp.asarray([[0, 5], [2, 7]], jnp.int32),
+        "loss_weight": jnp.asarray([1.0, 1.0], jnp.float32),
+    }
+
+    new_state, metrics, feats = step(state, batch)
+    assert np.isfinite(float(metrics["semantic_mixup_weighted"]))
+    assert float(metrics["semantic_mixup_weighted"]) > 0
+    assert metrics["mixup_losses"].shape == (2,)
+    assert np.isfinite(float(metrics["loss_total"]))
