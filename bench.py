@@ -177,11 +177,16 @@ def main():
             state, metrics, _ = step(state, batch)
         jax.block_until_ready(metrics["loss_total"])
 
+        profile_dir = os.environ.get("BENCH_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         start = time.perf_counter()
         for _ in range(num_steps):
             state, metrics, _ = step(state, batch)
         jax.block_until_ready(metrics["loss_total"])
         elapsed = time.perf_counter() - start
+        if profile_dir:
+            jax.profiler.stop_trace()
         metric_name = "adapt_steps_per_sec"
 
     steps_per_sec = num_steps / elapsed

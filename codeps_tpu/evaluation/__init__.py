@@ -1,5 +1,5 @@
-from codeps_tpu.evaluation.depth_metrics import (METRIC_KEYS,
-                                                 compute_depth_metrics)
+from codeps_tpu.evaluation.depth_metrics import (
+    METRIC_KEYS, compute_depth_metrics, compute_depth_metrics_per_class)
 from codeps_tpu.evaluation.semantic_metrics import (compute_confusion_matrix,
                                                     compute_sem_miou)
 from codeps_tpu.evaluation.panoptic_metrics import (PanopticEvaluator, PQStat,
@@ -9,7 +9,8 @@ from codeps_tpu.evaluation.meters import (AverageMeter, ConfusionMatrixMeter,
                                           ConstantMeter, Meter)
 
 __all__ = [
-    "METRIC_KEYS", "compute_depth_metrics", "compute_confusion_matrix",
+    "METRIC_KEYS", "compute_depth_metrics",
+    "compute_depth_metrics_per_class", "compute_confusion_matrix",
     "compute_sem_miou", "PanopticEvaluator", "PQStat", "PQStatCat",
     "compute_panoptic_stats", "AverageMeter", "ConfusionMatrixMeter",
     "ConstantMeter", "Meter",

@@ -88,3 +88,65 @@ def compute_depth_metrics(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
         "d_sq_rel": masked_mean((gt - pred) ** 2 / gt),
     }
     return {key: jnp.mean(value) for key, value in stats.items()}
+
+
+def compute_depth_metrics_per_class(depth_gt, depth_pred, semantic_gt,
+                                    num_classes: int,
+                                    use_gt_scale: bool = True,
+                                    depth_ranges: Tuple[float, float]
+                                    = (0.1, 80.0)) -> Dict[str, jnp.ndarray]:
+    """Per-semantic-class depth stats: keys ``d_<metric>_c<class>``.
+
+    Parity: DepthEvaluator.compute_depth_metrics_per_class
+    (/root/reference/eval/depth.py:72-107): pixels of each class are
+    pooled over the whole batch (no per-item split), void GT masked,
+    optional GT-median scaling per class. Classes absent from the batch
+    yield NaN entries (the reference simply omits them); callers should
+    filter non-finite values.
+    """
+    if depth_gt.ndim == 4:
+        depth_gt = depth_gt[..., 0]
+    if depth_pred.ndim == 4:
+        depth_pred = depth_pred[..., 0]
+    min_depth, max_depth = depth_ranges
+
+    gt_flat = depth_gt.reshape(-1)
+    pred_flat = depth_pred.reshape(-1)
+    sem_flat = semantic_gt.reshape(-1)
+
+    stats: Dict[str, jnp.ndarray] = {}
+    for cls in range(num_classes):
+        mask = (sem_flat == cls) & (gt_flat > 0)
+        count = jnp.sum(mask)
+        safe_count = jnp.maximum(count, 1)
+
+        pred_c = pred_flat
+        if use_gt_scale:
+            ratio = (_masked_median(gt_flat, mask)
+                     / _masked_median(pred_flat, mask))
+            pred_c = pred_flat * ratio
+
+        gt_c = jnp.clip(gt_flat, min_depth, max_depth)
+        pred_c = jnp.clip(pred_c, min_depth, max_depth)
+
+        def masked_mean(x, mask=mask, safe_count=safe_count):
+            return jnp.sum(jnp.where(mask, x, 0.0)) / safe_count
+
+        thresh = jnp.maximum(gt_c / pred_c, pred_c / gt_c)
+        nan = jnp.asarray(jnp.nan, jnp.float32)
+        empty = count == 0
+        cls_stats = {
+            f"d_a1_c{cls}": masked_mean((thresh < 1.25).astype(jnp.float32)),
+            f"d_a2_c{cls}": masked_mean(
+                (thresh < 1.25 ** 2).astype(jnp.float32)),
+            f"d_a3_c{cls}": masked_mean(
+                (thresh < 1.25 ** 3).astype(jnp.float32)),
+            f"d_rmse_c{cls}": jnp.sqrt(masked_mean((gt_c - pred_c) ** 2)),
+            f"d_rmse_log_c{cls}": jnp.sqrt(masked_mean(
+                (jnp.log(gt_c) - jnp.log(pred_c)) ** 2)),
+            f"d_abs_rel_c{cls}": masked_mean(jnp.abs(gt_c - pred_c) / gt_c),
+            f"d_sq_rel_c{cls}": masked_mean((gt_c - pred_c) ** 2 / gt_c),
+        }
+        stats.update({key: jnp.where(empty, nan, value)
+                      for key, value in cls_stats.items()})
+    return stats

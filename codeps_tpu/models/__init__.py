@@ -4,10 +4,11 @@ from codeps_tpu.models.heads import (DepthHead, FlowHead, InstanceHead,
 from codeps_tpu.models.codeps_net import (MODULE_NAMES, CodepsModules,
                                           build_modules, init_params,
                                           param_count)
+from codeps_tpu.models.facade import CodepsNet
 
 __all__ = [
     "ResNetEncoder", "make_encoder", "DepthHead", "FlowHead",
     "InstanceHead", "PoseHead", "SemanticHead", "disp_to_depth",
-    "MODULE_NAMES", "CodepsModules", "build_modules", "init_params",
-    "param_count",
+    "MODULE_NAMES", "CodepsModules", "CodepsNet", "build_modules",
+    "init_params", "param_count",
 ]

@@ -50,12 +50,18 @@ DIST_BUFFER_LEN = 300
 # --------------------------------------------------------------- teacher
 
 def make_eval_step(modules: CodepsModules, cfg, thing_list,
-                   eval_ignore_classes=()):
+                   eval_ignore_classes=(),
+                   class_wise_depth_stats: bool = False):
     """Jitted teacher evaluation of the incoming target frame.
 
     Mirrors CodepsNet.forward eval mode (online_adap.py:142-181) +
     panoptic fusion; returns predictions and metric ingredients.
+    ``class_wise_depth_stats`` adds per-semantic-class depth metrics
+    (do_class_wise_depth_stats path, adapt_codeps.py:46,232-236).
     """
+    from codeps_tpu.evaluation.depth_metrics import (
+        compute_depth_metrics_per_class)
+
     use_gt_scale = cfg.eval.depth.use_gt_scale
     depth_ranges = tuple(cfg.eval.depth.depth_ranges)
     num_classes = modules.num_classes
@@ -76,6 +82,11 @@ def make_eval_step(modules: CodepsModules, cfg, thing_list,
             if batch.get("depth_gt") is not None:
                 stats.update(compute_depth_metrics(
                     batch["depth_gt"], depth, use_gt_scale, depth_ranges))
+                if class_wise_depth_stats and \
+                        batch.get("semantic") is not None:
+                    stats.update(compute_depth_metrics_per_class(
+                        batch["depth_gt"], depth, batch["semantic"],
+                        num_classes, use_gt_scale, depth_ranges))
         if modules.semantic_head is not None:
             sem_probs = modules.semantic_head.apply(
                 {"params": params["semantic_head"]}, feats)

@@ -74,8 +74,10 @@ class AdaptationRunner:
         class_weights = [w for i, w in enumerate(cfg.semantics.class_weights)
                          if i not in cfg.dataset.remove_classes]
 
+        do_class_wise = (cfg.model.make_depth and cfg.model.make_semantic)
         self.eval_step = make_eval_step(modules, cfg, self.thing_list,
-                                        self.ignore_classes)
+                                        self.ignore_classes,
+                                        class_wise_depth_stats=do_class_wise)
         self.plabel_step = make_plabel_step(modules)
         from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
         source_size = tuple(cfg.adapt.source_dataset.feed_img_size)
@@ -125,6 +127,12 @@ class AdaptationRunner:
                       "center_source", "offset_source"]
         metric_names = ["d_abs_rel", "d_a1", "d_a2", "d_a3", "d_rmse",
                         "d_rmse_log", "d_sq_rel"]
+        # class-wise depth meters (adapt_codeps.py:134-142)
+        if self.cfg.model.make_depth and self.cfg.model.make_semantic:
+            for i in range(self.num_classes):
+                metric_names += [f"d_abs_rel_c{i}", f"d_a1_c{i}",
+                                 f"d_a2_c{i}", f"d_a3_c{i}", f"d_rmse_c{i}",
+                                 f"d_rmse_log_c{i}", f"d_sq_rel_c{i}"]
         meters = {
             "losses": {name: AverageMeter(()) for name in loss_names},
             "metrics": {name: AverageMeter(()) for name in metric_names},
@@ -327,7 +335,10 @@ class AdaptationRunner:
         metrics = self.meters["metrics"]
         for name, value in stats.items():
             if name in metrics and name != "sem_conf":
-                metrics[name].update(np.asarray(value))
+                value = np.asarray(value)
+                if np.isnan(value).any():
+                    continue  # class absent in this frame
+                metrics[name].update(value)
         if "sem_conf" in stats:
             conf = np.asarray(stats["sem_conf"])
             metrics["sem_conf"].update(conf)

@@ -37,6 +37,10 @@ def parse_args():
                              "chains (replay_buffer save_state)")
     parser.add_argument("--save_buffer_state", default=None)
     parser.add_argument("--experiments_dir", default="experiments")
+    parser.add_argument("--wandb", action="store_true",
+                        help="Enable wandb logging (if installed)")
+    parser.add_argument("--wandb_project", default="codeps_tpu")
+    parser.add_argument("--wandb_entity", default=None)
     return parser.parse_args()
 
 
@@ -64,6 +68,11 @@ def main():
     run_dir.mkdir(parents=True, exist_ok=True)
     (run_dir / "config.yaml").write_text(cfg.dump())
     init_logging(str(run_dir / "logs"), debug=args.debug)
+    from codeps_tpu.io.logging import WandbLogger
+    wandb_logger = WandbLogger(project=args.wandb_project,
+                               entity=args.wandb_entity,
+                               run_name=args.run_name, enabled=args.wandb,
+                               config=cfg.to_dict())
 
     # ---------------- datasets + replay buffer (misc/adapt_utils.py:11-56)
     if cfg.dataset.name == "sem_kitti_dvps":
@@ -151,6 +160,12 @@ def main():
     log_info("Final mIoU: %.4f | PQ: %.4f",
              float(meters["metrics"]["sem_miou"].value),
              float(meters["metrics"]["p_pq"].value))
+    wandb_logger.log_scalars(
+        "adapt",
+        losses={k: m.value for k, m in meters["losses"].items()},
+        metrics={k: m.value for k, m in meters["metrics"].items()
+                 if np.ndim(m.value) == 0},
+        step=len(runner.step_times))
 
     if args.save_buffer_state:
         replay_buffer.save_state(args.save_buffer_state)
@@ -206,6 +221,7 @@ def main():
                  {k: round(float(v), 4) for k, v in metrics.items()
                   if np.ndim(v) == 0})
 
+    wandb_logger.finish()
     log_info("End of adaptation script!")
 
 

@@ -37,6 +37,10 @@ def parse_args():
     parser.add_argument("--max_steps", type=int, default=None,
                         help="Stop after N optimizer steps (smoke runs)")
     parser.add_argument("--experiments_dir", default="experiments")
+    parser.add_argument("--wandb", action="store_true",
+                        help="Enable wandb logging (if installed)")
+    parser.add_argument("--wandb_project", default="codeps_tpu")
+    parser.add_argument("--wandb_entity", default=None)
     return parser.parse_args()
 
 
@@ -81,8 +85,21 @@ def main():
     run_dir.mkdir(parents=True, exist_ok=True)
     (run_dir / "config.yaml").write_text(cfg.dump())
     init_logging(str(run_dir / "logs"), debug=args.debug)
+    from codeps_tpu.io.logging import WandbLogger
+    wandb_logger = WandbLogger(project=args.wandb_project,
+                               entity=args.wandb_entity,
+                               run_name=args.run_name, enabled=args.wandb,
+                               config=cfg.to_dict())
 
-    log_info("Devices: %s", jax.devices())
+    # Multi-host SPMD: initialize the distributed runtime when launched
+    # under a multi-process coordinator (jax.distributed reads the
+    # standard env vars); single-host runs skip this.
+    import os as _os
+    if _os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            _os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    log_info("Devices: %s (process %d/%d)", jax.devices(),
+             jax.process_index(), jax.process_count())
     mesh = make_mesh(cfg.tpu.mesh.data_axis)
     num_devices = mesh.devices.size
 
@@ -96,7 +113,9 @@ def main():
     global_batch = cfg.train.batch_size_per_gpu * num_devices
     train_loader = DataLoader(train_dataset, global_batch,
                               cfg.dataset.offsets, shuffle=True,
-                              seed=args.seed)
+                              seed=args.seed,
+                              shard_index=jax.process_index(),
+                              num_shards=jax.process_count())
     val_loader = DataLoader(val_dataset,
                             cfg.val.batch_size_per_gpu * num_devices,
                             cfg.dataset.offsets, shuffle=False,
@@ -152,6 +171,8 @@ def main():
                 log_iter(global_step,
                          cfg.train.nof_epochs * steps_per_epoch,
                          host_metrics, prefix=f"train e{epoch}")
+                wandb_logger.log_scalars("train", losses=host_metrics,
+                                         step=global_step)
             if args.max_steps and global_step >= args.max_steps:
                 break
 
@@ -172,10 +193,14 @@ def main():
             log_info("Val epoch %d: %s", epoch,
                      {k: round(float(v), 4) for k, v in metrics.items()
                       if np.ndim(v) == 0})
+            wandb_logger.log_scalars("val", metrics={
+                k: v for k, v in metrics.items() if np.ndim(v) == 0},
+                step=global_step)
 
         if args.max_steps and global_step >= args.max_steps:
             break
 
+    wandb_logger.finish()
     log_info("End of training script!")
 
 

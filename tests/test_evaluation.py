@@ -115,3 +115,27 @@ def test_pq_matches_reference(seed):
             np.testing.assert_allclose(ours_res["per_class"][cls][key],
                                        vals[key], rtol=1e-6,
                                        err_msg=f"class {cls}/{key}")
+
+
+def test_depth_metrics_per_class_match_reference():
+    num_classes = 6
+    gt = RNG.uniform(0.5, 70, (2, 20, 28)).astype(np.float32)
+    gt[RNG.uniform(size=gt.shape) < 0.2] = 0.0
+    pred = RNG.uniform(0.5, 70, (2, 20, 28, 1)).astype(np.float32)
+    semantic = RNG.integers(0, num_classes, (2, 20, 28)).astype(np.int64)
+    semantic[0, 0, :5] = 255  # void pixels
+
+    ref_eval = RefDepthEvaluator(use_gt_scale=True, depth_ranges=(0.1, 80))
+    # reference expects depth_pred as (B, 1, H, W) (model output layout)
+    ref = ref_eval.compute_depth_metrics_per_class(
+        torch.tensor(gt), torch.tensor(pred.transpose(0, 3, 1, 2)),
+        torch.tensor(semantic))
+
+    from codeps_tpu.evaluation import compute_depth_metrics_per_class
+    ours = compute_depth_metrics_per_class(
+        jnp.asarray(gt), jnp.asarray(pred), jnp.asarray(semantic),
+        num_classes=num_classes, use_gt_scale=True, depth_ranges=(0.1, 80))
+
+    for key, value in ref.items():
+        np.testing.assert_allclose(np.asarray(ours[key]), value.numpy(),
+                                   rtol=1e-3, atol=1e-4, err_msg=key)

@@ -179,3 +179,23 @@ def test_encoder_batchnorm_updates_in_train_mode():
     old = variables["batch_stats"]["conv1"]["bn"]["mean"]
     new = updates["batch_stats"]["conv1"]["bn"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_codeps_net_facade():
+    from codeps_tpu.config import get_cfg_defaults
+    from codeps_tpu.models import CodepsNet, build_modules, init_params
+
+    cfg = get_cfg_defaults()
+    cfg.model.po_depth_net.params.nof_layers = 18
+    modules = build_modules(cfg, num_classes=14)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+    net = CodepsNet(modules, params, stats)
+
+    image = jnp.zeros((1, 32, 64, 3), jnp.float32)
+    result = net(image, mode="infer")
+    assert result["depth"].shape == (1, 32, 64, 1)
+    assert result["semantic"].shape == (1, 32, 64)
+    assert "panoptic" not in result
+
+    result = net(image, mode="eval")
+    assert result["panoptic"].shape == (1, 32, 64)

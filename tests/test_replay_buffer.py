@@ -219,3 +219,61 @@ def test_do_mixup_strategies(strategy):
     assert out["instance"].shape == (height, width)
     # mixed sample differs from pure source
     assert not np.array_equal(out["semantic"], semantic_src)
+
+
+def test_fused_cut_mixup_matches_host_composition():
+    """The in-jit cut composition (tasks/adapt.py) must match the host
+    Mixup.cut_mixup + warp path for the same inputs and cells."""
+    import jax.numpy as jnp
+
+    from codeps_tpu.tasks.mixup_prep import c2c_grid
+    from codeps_tpu.ops.grid_sample import grid_sample
+
+    hs, ws = 32, 64
+    ht, wt = 32, 96
+    rng = np.random.default_rng(7)
+    rgb_src = rng.uniform(0, 1, (hs, ws, 3)).astype(np.float32)
+    rgb_tgt = rng.uniform(0, 1, (ht, wt, 3)).astype(np.float32)
+    sem_tgt = rng.integers(0, 14, (ht, wt)).astype(np.int32)
+    sem_src = rng.integers(0, 14, (hs, ws)).astype(np.int32)
+    intr_src = np.asarray([28.0, 28.0, ws / 2, hs / 2], np.float32)
+    intr_tgt = np.asarray([30.0, 30.0, wt / 2, ht / 2], np.float32)
+
+    # host path: warp then compose with fixed cells
+    rgb_w = warp_c2c(intr_tgt, intr_src, rgb_tgt, (hs, ws),
+                     interp_mode="bilinear", padding_mode="zeros")
+    sem_w = warp_c2c(intr_tgt, intr_src, sem_tgt.astype(np.float32),
+                     (hs, ws), interp_mode="nearest",
+                     padding_mode="border").astype(np.int32)
+
+    cells = np.asarray([1, 6])
+    nof_vert, nof_hor = 4, 2
+    crop_h, crop_w = hs // nof_vert, ws // nof_hor
+    mask = np.zeros((hs, ws), bool)
+    for cell in cells:
+        mx, my = cell % nof_hor, cell // nof_hor
+        mask[my * crop_h:(my + 1) * crop_h - 1,
+             mx * crop_w:(mx + 1) * crop_w - 1] = True
+    host_rgb = rgb_src.copy()
+    host_rgb[mask] = rgb_w[mask]
+    host_sem = sem_src.copy()
+    host_sem[mask] = sem_w[mask]
+
+    # device path: c2c_grid + grid_sample + iota mask (same math as the
+    # fused step)
+    grid = c2c_grid(jnp.asarray(intr_tgt)[None], jnp.asarray(intr_src)[None],
+                    (ht, wt), (hs, ws))
+    dev_rgb_w = np.asarray(grid_sample(jnp.asarray(rgb_tgt)[None], grid,
+                                       mode="bilinear",
+                                       padding_mode="zeros"))[0]
+    dev_sem_w = np.asarray(grid_sample(
+        jnp.asarray(sem_tgt.astype(np.float32))[None, ..., None], grid,
+        mode="nearest", padding_mode="border"))[0, ..., 0].astype(np.int32)
+
+    np.testing.assert_allclose(dev_rgb_w, rgb_w, atol=1e-5)
+    np.testing.assert_array_equal(dev_sem_w, sem_w)
+
+    dev_rgb = np.where(mask[..., None], dev_rgb_w, rgb_src)
+    dev_sem = np.where(mask, dev_sem_w, sem_src)
+    np.testing.assert_allclose(dev_rgb, host_rgb, atol=1e-5)
+    np.testing.assert_array_equal(dev_sem, host_sem)
