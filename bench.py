@@ -28,6 +28,76 @@ import numpy as np
 BASELINE_STEPS_PER_SEC = 25.0
 
 
+def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
+                 height, width):
+    """Multi-task pretraining step throughput (train_cityscapes shape:
+    batch 6 at 512x1024 per chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codeps_tpu.tasks import (TrainState, build_optimizer,
+                                  build_schedule, make_train_step)
+
+    # The adapt config lacks the pretrain scheduler/loss-weight keys —
+    # rebuild the train defaults with the same model settings.
+    from codeps_tpu.config import get_cfg_defaults
+    train_cfg = get_cfg_defaults()
+    train_cfg.model.merge_from_dict(cfg.model.to_dict())
+    train_cfg.semantics.class_weights = [1.0] * num_classes
+    cfg = train_cfg
+
+    batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "6"))
+    rng = np.random.default_rng(0)
+    batch = {
+        "frames": jnp.asarray(rng.uniform(
+            0, 1, (batch_size, 3, height, width, 3)).astype(np.float32)),
+        "camera": jnp.tile(jnp.asarray(
+            [[600.0, 600.0, width / 2, height / 2]], jnp.float32),
+            (batch_size, 1)),
+        "semantic": jnp.asarray(rng.integers(
+            0, num_classes, (batch_size, height, width)).astype(np.int32)),
+        "semantic_weights": jnp.ones((batch_size, height, width),
+                                     jnp.float32),
+        "center": jnp.asarray(rng.uniform(
+            0, 1, (batch_size, height, width, 1)).astype(np.float32)),
+        "center_weights": jnp.ones((batch_size, height, width, 1),
+                                   jnp.float32),
+        "offset": jnp.asarray(rng.normal(
+            0, 4, (batch_size, height, width, 2)).astype(np.float32)),
+        "offset_weights": jnp.ones((batch_size, height, width, 1),
+                                   jnp.float32),
+        "thing_mask": jnp.asarray(rng.integers(
+            0, 2, (batch_size, height, width)).astype(np.int32)),
+    }
+
+    schedule = build_schedule(cfg, steps_per_epoch=500)
+    tx = build_optimizer(cfg, schedule)
+    state = TrainState(params=params, batch_stats=stats,
+                       opt_state=tx.init(params),
+                       step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(0))
+    step = make_train_step(modules, cfg, tx,
+                           class_weights=[1.0] * num_classes, donate=True)
+
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+    start = time.perf_counter()
+    for _ in range(num_steps):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+    elapsed = time.perf_counter() - start
+
+    images_per_sec = num_steps * batch_size / elapsed
+    print(json.dumps({
+        "metric": "pretrain_images_per_sec",
+        "value": round(images_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round((num_steps / elapsed)
+                             / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -67,6 +137,10 @@ def main():
                              ema_alpha=cfg.adapt.ema.alpha)
 
     mode = os.environ.get("BENCH_MODE", "step")
+    if mode == "train":
+        _bench_train(cfg, modules, params, stats, num_classes, num_steps,
+                     hs, ws)
+        return
     step = make_adapt_step(
         modules, cfg, tx, class_weights=[1.0] * num_classes,
         ema_modules=("semantic_head",), frozen_modules=frozen,

@@ -258,3 +258,36 @@ def test_instance_losses_match_reference():
     ours_bm = binary_mask_loss(_nhwc(logits), jnp.asarray(target))
     np.testing.assert_allclose(np.asarray(ours_bm), ref_bm, rtol=1e-5,
                                atol=1e-7)
+
+
+def test_semantic_consistency_loss_smoke():
+    """Available-but-unused in the reference adaptation
+    (constructed at model_setup.py:105-109, never invoked); sanity: warp-
+    consistent predictions score lower than inconsistent ones."""
+    from codeps_tpu.losses import semantic_consistency_loss
+
+    rng = np.random.default_rng(0)
+    b, h, w, c = 1, 16, 24, 6
+    logits = rng.normal(0, 1, (b, h, w, c)).astype(np.float32)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    identical = [jnp.asarray(probs)] * 3
+    images = [jnp.asarray(rng.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+              for _ in range(3)]
+    depth = jnp.full((b, h, w, 1), 10.0, jnp.float32)
+    intr = jnp.asarray([[20.0, 20.0, w / 2, h / 2]], jnp.float32)
+    identity_pose = jnp.eye(4)[None]
+
+    consistent = semantic_consistency_loss(
+        jax.random.PRNGKey(0), intr, identical, images, depth,
+        [identity_pose, identity_pose])
+    assert np.isfinite(float(consistent))
+
+    shuffled = rng.normal(0, 3, (b, h, w, c)).astype(np.float32)
+    inconsistent_probs = np.asarray(jax.nn.softmax(jnp.asarray(shuffled),
+                                                   axis=-1))
+    inconsistent = semantic_consistency_loss(
+        jax.random.PRNGKey(0), intr,
+        [jnp.asarray(probs), jnp.asarray(inconsistent_probs),
+         jnp.asarray(inconsistent_probs)],
+        images, depth, [identity_pose, identity_pose])
+    assert float(consistent) <= float(inconsistent) + 1e-3
