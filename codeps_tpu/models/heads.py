@@ -13,7 +13,6 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from codeps_tpu.geometry.pose import transformation_from_parameters
 from codeps_tpu.ops.resize import (resize_bilinear, upsample_bilinear_2x_align,

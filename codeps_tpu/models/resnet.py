@@ -16,7 +16,7 @@ call site) with float32 params and batch stats. BatchNorm takes an optional
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ EMA eval pass) — we skip that dead work.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Sequence
 
 import jax

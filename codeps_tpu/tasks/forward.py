@@ -7,7 +7,7 @@ functions. Camera intrinsics stay traced (B, 4) arrays throughout.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

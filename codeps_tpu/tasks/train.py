@@ -20,7 +20,6 @@ wastes 2 of 3 ResNet-101 passes per step.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict
 
 import jax
