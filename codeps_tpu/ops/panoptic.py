@@ -208,7 +208,7 @@ def merge_semantic_and_instance(semantic: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=(
     "thing_list", "label_divisor", "stuff_area", "void_label", "threshold",
-    "nms_kernel", "top_k", "num_classes", "do_merge"))
+    "nms_kernel", "top_k", "num_classes", "do_merge", "use_pallas"))
 def get_panoptic_segmentation(
     semantic_probs: jnp.ndarray,
     center_heatmap: jnp.ndarray,
@@ -223,6 +223,7 @@ def get_panoptic_segmentation(
     foreground_mask: jnp.ndarray | None = None,
     num_classes: int | None = None,
     do_merge: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Single-image panoptic fusion.
 
@@ -252,7 +253,19 @@ def get_panoptic_segmentation(
 
     centers = find_instance_centers(center_heatmap, threshold, nms_kernel,
                                     top_k)
-    raw_instance = group_pixels(centers, offsets)
+    height, width = center_heatmap.shape
+    if use_pallas is None:
+        # Auto: the Pallas grouping kernel on TPU when shapes tile cleanly
+        # (all published feed sizes do).
+        use_pallas = (jax.default_backend() == "tpu"
+                      and width % 128 == 0 and height % 8 == 0
+                      and top_k % 8 == 0)
+    if use_pallas:
+        from codeps_tpu.ops.pallas.grouping import group_pixels_pallas
+        raw_instance = group_pixels_pallas(centers.yx, centers.valid,
+                                           offsets)
+    else:
+        raw_instance = group_pixels(centers, offsets)
 
     if foreground_mask is not None:
         thing_seg = foreground_mask.astype(jnp.int32)

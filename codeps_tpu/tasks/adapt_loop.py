@@ -385,8 +385,20 @@ class AdaptationRunner:
         if max_frames is not None:
             num_frames = min(num_frames, max_frames)
 
+        # Async host feed: one frame of lookahead so file IO + LANCZOS +
+        # augmentation overlap the device work (SURVEY §7 design move 5).
+        # NOTE: replay/mixup sampling for frame it+1 happens before frame
+        # it's buffer.add — the reference's multi-worker DataLoader with
+        # prefetching has the same lag (workers assemble batches ahead of
+        # the main process's add(), replay_buffer.py:51-57).
+        import concurrent.futures
+        executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        pending = executor.submit(self.buffer.__getitem__, 0)
+
         for it in range(num_frames):
-            sample = self.buffer[it]
+            sample = pending.result()
+            if it + 1 < num_frames:
+                pending = executor.submit(self.buffer.__getitem__, it + 1)
             if "target" not in sample:
                 continue
             start = time.time()
@@ -454,4 +466,5 @@ class AdaptationRunner:
                 self.meters["metrics"]["sem_conf_interval"] = \
                     ConfusionMatrixMeter(self.num_classes)
 
+        executor.shutdown(wait=False, cancel_futures=True)
         return self.meters
