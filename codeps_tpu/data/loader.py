@@ -32,10 +32,13 @@ def collate_batch(samples: List[Dict[str, Any]],
     frame_offsets = [0]
     for offset in offsets:
         frame_offsets += [-offset, offset]
-    batch["frames"] = np.stack([
+    frames = np.stack([
         np.stack([sample["rgb"][o] for o in frame_offsets])
         for sample in samples
-    ]).astype(np.float32)
+    ])
+    # uint8 frames pass through raw (on-device normalization path)
+    batch["frames"] = frames if frames.dtype == np.uint8 \
+        else frames.astype(np.float32)
     batch["camera"] = np.stack(
         [np.asarray(sample["camera_model"], np.float32)
          for sample in samples])

@@ -75,7 +75,16 @@ def get_random_color_jitter(rng: random.Random, brightness, contrast,
 # --------------------------------------------------------------- pipeline
 
 def prepare_for_network(output: Dict[str, Any], normalization_cfg) -> None:
-    """PIL -> float32 (H, W, 3) in [0,1], optionally ImageNet-normalized."""
+    """PIL -> float32 (H, W, 3) in [0,1], optionally ImageNet-normalized.
+
+    With ``normalization_cfg.uint8_transfer`` the images stay raw uint8 —
+    the jitted steps normalize on device (ops/normalize.py), cutting
+    host->device traffic 4x.
+    """
+    if normalization_cfg.get("uint8_transfer", False):
+        for offset, img in output["rgb"].items():
+            output["rgb"][offset] = np.asarray(img, np.uint8)
+        return
     mean = np.asarray(normalization_cfg.rgb_mean, np.float32)
     std = np.asarray(normalization_cfg.rgb_std, np.float32)
     for offset, img in output["rgb"].items():

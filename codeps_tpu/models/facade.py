@@ -35,6 +35,8 @@ class CodepsNet:
 
     def _forward(self, params, batch_stats, image,
                  do_panoptic_fusion: bool = False):
+        from codeps_tpu.ops.normalize import maybe_normalize
+        image = maybe_normalize(image)
         feats, _ = apply_encoder(
             self.modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], image, train=False)

@@ -38,6 +38,7 @@ from codeps_tpu.losses import (center_loss, edge_aware_smoothness_loss,
                                flow_sparsity_loss, offset_loss,
                                reconstruction_loss, semantic_loss)
 from codeps_tpu.models.codeps_net import CodepsModules
+from codeps_tpu.ops.normalize import maybe_normalize
 from codeps_tpu.ops.panoptic import panoptic_fusion_batch
 from codeps_tpu.tasks.forward import (apply_encoder, depth_forward,
                                       encode_frames)
@@ -66,8 +67,12 @@ def make_eval_step(modules: CodepsModules, cfg, thing_list,
     num_classes = modules.num_classes
     thing_list = tuple(thing_list)
 
+    mean = tuple(cfg.dataset.normalization.rgb_mean)
+    std = tuple(cfg.dataset.normalization.rgb_std)
+
     def eval_step(params, batch_stats, batch):
         image = batch["frames"][:, 0] if "frames" in batch else batch["image"]
+        image = maybe_normalize(image, mean, std)
         feats, _ = apply_encoder(
             modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], image, train=False)
@@ -121,6 +126,7 @@ def make_plabel_step(modules: CodepsModules):
     (adapt_codeps.py:174-199): semantic labels + center/offset maps."""
 
     def plabel_step(params, batch_stats, images):
+        images = maybe_normalize(images)
         feats, _ = apply_encoder(
             modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], images, train=False)
@@ -319,9 +325,28 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                            flow_sparsity_loss(fwd["object_motion_maps"]))
         return recon, smth, flow_losses, fwd["transformations"], feats_t
 
+    mean = tuple(cfg.dataset.normalization.rgb_mean)
+    std = tuple(cfg.dataset.normalization.rgb_std)
+
+    def _norm_domain(domain):
+        domain = dict(domain)
+        domain["frames"] = maybe_normalize(domain["frames"], mean, std)
+        return domain
+
     def loss_fn(params, batch_stats, rng, batch, target_skip, teacher):
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
+        # uint8-transfer path: normalize on device (no-op for floats)
+        batch = dict(batch)
+        for domain_key in ("target", "source", "target_replay"):
+            if domain_key in batch:
+                batch[domain_key] = _norm_domain(batch[domain_key])
+        if "mixup" in batch:
+            mix = dict(batch["mixup"])
+            for key in ("rgb", "rgb_src", "rgb_tgt"):
+                if key in mix:
+                    mix[key] = maybe_normalize(mix[key], mean, std)
+            batch["mixup"] = mix
 
         # ---------------- depth over domains (algos/depth.py:507-595)
         domain_stats = []  # (key, recon, smth, flow, count)
@@ -469,9 +494,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     def _pose_distance(params, batch_stats, batch, rng):
         """Camera translation magnitude of the target triplet (student),
         for the non-moving-frame check."""
-        images = [batch["target"]["frames"][:, 0],
-                  batch["target"]["frames"][:, 1],
-                  batch["target"]["frames"][:, 2]]
+        frames = maybe_normalize(batch["target"]["frames"], mean, std)
+        images = [frames[:, 0], frames[:, 1], frames[:, 2]]
         pair_bwd = jnp.concatenate([images[1], images[0]], axis=-1)
         pair_fwd = jnp.concatenate([images[0], images[2]], axis=-1)
         pairs = jnp.concatenate([pair_bwd, pair_fwd], axis=0)

@@ -30,12 +30,16 @@ MIXUP_KEYS = ("cut_mixup", "class_mixup", "conf_instance_mixup")
 
 
 def _frames_from_sample(sample, offsets=(1,)) -> np.ndarray:
-    """rgb dict {0,-1,1,...} -> (1, F, H, W, 3) [t, t-1, t+1, ...]."""
+    """rgb dict {0,-1,1,...} -> (1, F, H, W, 3) [t, t-1, t+1, ...].
+
+    uint8 frames stay uint8 (on-device normalization path)."""
     order = [0]
     for offset in offsets:
         order += [-offset, offset]
-    return np.stack([np.asarray(sample["rgb"][o], np.float32)
-                     for o in order])[None]
+    stacked = np.stack([np.asarray(sample["rgb"][o]) for o in order])
+    if stacked.dtype != np.uint8:
+        stacked = stacked.astype(np.float32)
+    return stacked[None]
 
 
 class AdaptationRunner:
@@ -197,6 +201,11 @@ class AdaptationRunner:
         if "target_replay" in sample:
             batch["target_replay"] = stack_domain(sample["target_replay"],
                                                   [])
+        def _stack_images(images):
+            stacked = np.stack([np.asarray(im) for im in images])
+            return (stacked if stacked.dtype == np.uint8
+                    else stacked.astype(np.float32))
+
         if self.fused_mixup and "cut_mixup" in sample:
             items = sample["cut_mixup"]
             nof_splits = (self.cfg.adapt.mixup.cut_mix.nof_vert_splits
@@ -208,15 +217,13 @@ class AdaptationRunner:
                 for _ in items]).astype(np.int32)
             weight = self.loss_weights.get("semantic_cut_mixup") or 0.0
             batch["mixup"] = {
-                "rgb_src": jnp.asarray(np.stack(
-                    [np.asarray(m["rgb_src"][0], np.float32)
-                     for m in items])),
+                "rgb_src": jnp.asarray(_stack_images(
+                    [m["rgb_src"][0] for m in items])),
                 "semantic_src": jnp.asarray(np.stack(
                     [np.asarray(m["semantic_src"]) for m in items]).astype(
                         np.int32)),
-                "rgb_tgt": jnp.asarray(np.stack(
-                    [np.asarray(m["rgb_tgt"][0], np.float32)
-                     for m in items])),
+                "rgb_tgt": jnp.asarray(_stack_images(
+                    [m["rgb_tgt"][0] for m in items])),
                 "intr_src": jnp.asarray(np.stack(
                     [np.asarray(m["camera_model_src"], np.float32)
                      for m in items])),
@@ -260,8 +267,10 @@ class AdaptationRunner:
             # resizes instead of warping; rare configuration).
             return self._compose_mixups_unfused(items)
 
-        rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0], np.float32)
+        rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0])
                             for _, item in items])
+        if rgb_tgt.dtype != np.uint8:
+            rgb_tgt = rgb_tgt.astype(np.float32)
         intr_src = np.stack([np.asarray(item["camera_model_src"],
                                         np.float32) for _, item in items])
         intr_tgt = np.stack([np.asarray(item["camera_model_tgt"],

@@ -71,6 +71,8 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
     num_classes = modules.num_classes
 
     def prep(params, batch_stats, rgb_tgt, intr_src, intr_tgt):
+        from codeps_tpu.ops.normalize import maybe_normalize
+        rgb_tgt = maybe_normalize(rgb_tgt)
         feats, _ = apply_encoder(
             modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], rgb_tgt, train=False)

@@ -36,6 +36,7 @@ from codeps_tpu.losses import (binary_mask_loss, center_loss,
 from codeps_tpu.models.codeps_net import CodepsModules
 from codeps_tpu.tasks.forward import (apply_encoder, depth_forward,
                                       encode_frames)
+from codeps_tpu.ops.normalize import maybe_normalize
 from codeps_tpu.tasks.state import TrainState
 
 
@@ -57,10 +58,19 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
     make_semantic = modules.semantic_head is not None
     make_instance = modules.instance_head is not None
 
+    mean = tuple(cfg.dataset.normalization.rgb_mean)
+    std = tuple(cfg.dataset.normalization.rgb_std)
+
     def loss_fn(params, batch_stats, rng, batch: Dict[str, Any]):
         losses: Dict[str, jnp.ndarray] = {}
         preds: Dict[str, Any] = {}
         new_stats = dict(batch_stats)
+        # uint8-transfer path: normalize on device (no-op for floats)
+        batch = dict(batch)
+        if "frames" in batch:
+            batch["frames"] = maybe_normalize(batch["frames"], mean, std)
+        if "image" in batch:
+            batch["image"] = maybe_normalize(batch["image"], mean, std)
 
         # ---------------- encoder over frames
         if make_depth and make_flow:
