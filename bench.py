@@ -10,6 +10,11 @@ frozen backbone_po_depth/instance_head, bf16 conv compute.
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the 25 steps/s v5e-8 target.
 
+Timing is differential with a forced value fetch: on relay-tunneled
+chips, block_until_ready does not reliably wait for donated executables,
+so we time (N+M steps with fetch) - (M steps with fetch), which cancels
+both the fetch round-trip and dispatch pipelining.
+
 Smaller-footprint knobs for smoke runs:
   BENCH_PRESET=tiny    (64x128, ResNet-18)
   BENCH_STEPS=N        timed steps (default 20)
@@ -25,7 +30,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np
 
-BASELINE_STEPS_PER_SEC = 25.0
+BASELINE_STEPS_PER_SEC = 25.0  # north-star: v5e-8 (8 chips)
+BASELINE_CHIPS = 8
+
+
+def _baseline_for_devices() -> float:
+    """Per-run target scaled to the devices actually benched.
+
+    The north-star is 25 adapt steps/s on a v5e-8; the adapt step is
+    data-parallel, so an n-device run is held to 25*n/8. On the 1-chip
+    axon tunnel that is 3.125 steps/s.
+    """
+    import jax
+    return BASELINE_STEPS_PER_SEC * len(jax.devices()) / BASELINE_CHIPS
 
 
 def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
@@ -41,10 +58,17 @@ def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
     # The adapt config lacks the pretrain scheduler/loss-weight keys —
     # rebuild the train defaults with the same model settings.
     from codeps_tpu.config import get_cfg_defaults
+    from codeps_tpu.models import build_modules, init_params
     train_cfg = get_cfg_defaults()
     train_cfg.model.merge_from_dict(cfg.model.to_dict())
     train_cfg.semantics.class_weights = [1.0] * num_classes
     cfg = train_cfg
+    # ResNet-101 fwd+bwd at batch 6 x 512x1024 needs remat on 16 GB chips
+    import jax.numpy as _jnp
+    modules = build_modules(cfg, num_classes, dtype=_jnp.bfloat16,
+                            remat=True)
+    params, stats = init_params(jax.random.PRNGKey(0), modules,
+                                (height, width))
 
     batch_size = int(os.environ.get("BENCH_TRAIN_BATCH", "6"))
     rng = np.random.default_rng(0)
@@ -79,14 +103,17 @@ def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
     step = make_train_step(modules, cfg, tx,
                            class_weights=[1.0] * num_classes, donate=True)
 
-    for _ in range(3):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss_total"])
-    start = time.perf_counter()
-    for _ in range(num_steps):
-        state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss_total"])
-    elapsed = time.perf_counter() - start
+    def timed(state, n):
+        start = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, batch)
+        float(metrics["loss_total"])  # force execution of the chain
+        return state, time.perf_counter() - start
+
+    state, _ = timed(state, 3)           # post-compile warmup
+    state, t_short = timed(state, 3)
+    state, t_long = timed(state, 3 + num_steps)
+    elapsed = max(t_long - t_short, 1e-6)
 
     images_per_sec = num_steps * batch_size / elapsed
     print(json.dumps({
@@ -94,7 +121,7 @@ def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
         "value": round(images_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round((num_steps / elapsed)
-                             / BASELINE_STEPS_PER_SEC, 3),
+                             / _baseline_for_devices(), 3),
     }))
 
 
@@ -137,6 +164,8 @@ def main():
                              ema_alpha=cfg.adapt.ema.alpha)
 
     mode = os.environ.get("BENCH_MODE", "step")
+    if mode not in ("step", "loop", "train"):
+        raise SystemExit(f"BENCH_MODE must be step|loop|train, got {mode!r}")
     if mode == "train":
         _bench_train(cfg, modules, params, stats, num_classes, num_steps,
                      hs, ws)
@@ -236,29 +265,33 @@ def main():
                 sim_index.search(feats, 1)
             return state, metrics
 
-        for i in range(2):
-            state, metrics = one_frame(state, i)
-        jax.block_until_ready(metrics["loss_total"])
-        start = time.perf_counter()
-        for i in range(num_steps):
-            state, metrics = one_frame(state, i + 10)
-        jax.block_until_ready(metrics["loss_total"])
-        elapsed = time.perf_counter() - start
+        def timed_frames(state, n, base):
+            start = time.perf_counter()
+            for i in range(n):
+                state, metrics = one_frame(state, base + i)
+            float(metrics["loss_total"])
+            return state, time.perf_counter() - start
+
+        state, _ = timed_frames(state, 2, 0)
+        state, t_short = timed_frames(state, 3, 100)
+        state, t_long = timed_frames(state, 3 + num_steps, 200)
+        elapsed = max(t_long - t_short, 1e-6)
         metric_name = "adapt_frames_per_sec"
     else:
-        # Warmup / compile
-        for _ in range(3):
-            state, metrics, _ = step(state, batch)
-        jax.block_until_ready(metrics["loss_total"])
+        def timed_steps(state, n):
+            start = time.perf_counter()
+            for _ in range(n):
+                state, metrics, _ = step(state, batch)
+            float(metrics["loss_total"])
+            return state, time.perf_counter() - start
 
+        state, _ = timed_steps(state, 3)     # post-compile warmup
         profile_dir = os.environ.get("BENCH_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        start = time.perf_counter()
-        for _ in range(num_steps):
-            state, metrics, _ = step(state, batch)
-        jax.block_until_ready(metrics["loss_total"])
-        elapsed = time.perf_counter() - start
+        state, t_short = timed_steps(state, 3)
+        state, t_long = timed_steps(state, 3 + num_steps)
+        elapsed = max(t_long - t_short, 1e-6)
         if profile_dir:
             jax.profiler.stop_trace()
         metric_name = "adapt_steps_per_sec"
@@ -268,7 +301,7 @@ def main():
         "metric": metric_name,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "vs_baseline": round(steps_per_sec / _baseline_for_devices(), 3),
     }))
 
 

@@ -48,7 +48,8 @@ class CodepsModules:
 
 def build_modules(cfg, num_classes: int,
                   dtype: Any = jnp.float32,
-                  axis_name: str | None = None) -> CodepsModules:
+                  axis_name: str | None = None,
+                  remat: bool | None = None) -> CodepsModules:
     """Construct module definitions from a config tree.
 
     Mirrors gen_models' wiring (codeps/model_setup.py:36-147): the pose
@@ -59,9 +60,11 @@ def build_modules(cfg, num_classes: int,
     make_sflow = cfg.model.make_sflow
     make_semantic = cfg.model.make_semantic
     make_instance = cfg.model.make_instance
+    if remat is None:
+        remat = bool(cfg.get("tpu", {}) and cfg.tpu.get("remat", False))
 
     backbone = make_encoder(cfg.model.po_depth_net.params.nof_layers,
-                            dtype=dtype, axis_name=axis_name)
+                            dtype=dtype, axis_name=axis_name, remat=remat)
     num_ch_enc = backbone.num_ch_enc
 
     backbone_pose = None
@@ -73,7 +76,7 @@ def build_modules(cfg, num_classes: int,
         backbone_pose = make_encoder(
             cfg.model.pose_sflow_net.params.nof_layers,
             num_input_images=2, num_channels_input=channels,
-            dtype=dtype, axis_name=axis_name)
+            dtype=dtype, axis_name=axis_name, remat=remat)
         depth_head = DepthHead(num_ch_enc=tuple(num_ch_enc), use_skips=True,
                                dtype=dtype)
         pose_head = PoseHead(dtype=dtype)

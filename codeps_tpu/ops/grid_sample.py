@@ -79,6 +79,34 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     if padding_mode != "border":
         raise ValueError(f"Unsupported padding mode: {padding_mode}")
 
+    if mode == "bilinear":
+        # TPU gathers serialize per gathered ROW, almost independent of
+        # row width (measured: 3-wide 7.5ms vs 128-wide 11.8ms per 1M rows
+        # on v5e). Packing the 2x2 taps into one 4C-wide row via
+        # edge-replicated shifts turns 4 gathers into 1 (~3.3x faster
+        # warps); values are bit-identical to the 4-gather formulation.
+        x = jnp.clip(x, 0.0, w - 1)
+        y = jnp.clip(y, 0.0, h - 1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
+        ix0 = x0.astype(jnp.int32)
+        iy0 = y0.astype(jnp.int32)
+
+        right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+        down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+        down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+        packed = jnp.concatenate([img, right, down, down_right], axis=-1)
+
+        taps = _gather_2d(packed, iy0, ix0)  # (B, Ho, Wo, 4C)
+        c = img.shape[-1]
+        v00, v01, v10, v11 = (taps[..., :c], taps[..., c:2 * c],
+                              taps[..., 2 * c:3 * c], taps[..., 3 * c:])
+        top = v00 * (1.0 - wx) + v01 * wx
+        bottom = v10 * (1.0 - wx) + v11 * wx
+        return top * (1.0 - wy) + bottom * wy
+
     if mode == "nearest":
         # torch rounds half away from zero here only for exact .5 after
         # unnormalize; jnp.round does banker's rounding. Match torch by
@@ -87,30 +115,4 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         iy = jnp.clip(jnp.floor(y + 0.5), 0, h - 1).astype(jnp.int32)
         return _gather_2d(img, iy, ix)
 
-    if mode != "bilinear":
-        raise ValueError(f"Unsupported mode: {mode}")
-
-    # Border padding == clamp the sampling coordinates to the valid range.
-    x = jnp.clip(x, 0.0, w - 1)
-    y = jnp.clip(y, 0.0, h - 1)
-
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-
-    ix0 = x0.astype(jnp.int32)
-    iy0 = y0.astype(jnp.int32)
-    ix1 = jnp.minimum(ix0 + 1, w - 1)
-    iy1 = jnp.minimum(iy0 + 1, h - 1)
-
-    v00 = _gather_2d(img, iy0, ix0)
-    v01 = _gather_2d(img, iy0, ix1)
-    v10 = _gather_2d(img, iy1, ix0)
-    v11 = _gather_2d(img, iy1, ix1)
-
-    wx = wx[..., None]
-    wy = wy[..., None]
-    top = v00 * (1.0 - wx) + v01 * wx
-    bottom = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bottom * wy
+    raise ValueError(f"Unsupported mode: {mode}")

@@ -1,0 +1,41 @@
+"""run_validation over a synthetic val split."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from codeps_tpu.config import gen_config
+from codeps_tpu.data import Cityscapes, DataLoader
+from codeps_tpu.data.synthetic import make_cityscapes_tree
+from codeps_tpu.models import build_modules, init_params
+from codeps_tpu.tasks.validate import run_validation
+
+
+def test_run_validation_metrics(tmp_path):
+    root = make_cityscapes_tree(tmp_path / "cs", num_frames=4,
+                                split="val")
+    cfg = gen_config(freeze=False)
+    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.dataset.name = "cityscapes"
+    cfg.dataset.path = str(root)
+    cfg.dataset.feed_img_size = [32, 64]
+    cfg.dataset.center_heatmap_sigma = 4
+    cfg.semantics.class_weights = [1.0] * 14
+    cfg.freeze()
+
+    dataset = Cityscapes("val", cfg.dataset, return_depth=True,
+                         label_mode="codeps")
+    loader = DataLoader(dataset, batch_size=2, offsets=[1], shuffle=False,
+                        num_threads=1)
+
+    modules = build_modules(cfg, 14)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+
+    metrics = run_validation(cfg, modules, params, stats, loader,
+                             dataset.thing_classes, dataset.stuff_classes,
+                             dataset.ignore_classes)
+    assert 0.0 <= metrics["sem_miou"] <= 1.0
+    assert np.isfinite(metrics["d_abs_rel"])
+    assert "p_pq" in metrics
+    assert metrics["sem_conf"].sum() == 4 * 32 * 64
