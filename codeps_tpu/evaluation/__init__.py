@@ -6,12 +6,12 @@ from codeps_tpu.evaluation.panoptic_metrics import (PanopticEvaluator, PQStat,
                                                     PQStatCat,
                                                     compute_panoptic_stats)
 from codeps_tpu.evaluation.meters import (AverageMeter, ConfusionMatrixMeter,
-                                          ConstantMeter, Meter)
+                                          ConstantMeter, Meter, PanopticMeter)
 
 __all__ = [
     "METRIC_KEYS", "compute_depth_metrics",
     "compute_depth_metrics_per_class", "compute_confusion_matrix",
     "compute_sem_miou", "PanopticEvaluator", "PQStat", "PQStatCat",
     "compute_panoptic_stats", "AverageMeter", "ConfusionMatrixMeter",
-    "ConstantMeter", "Meter",
+    "ConstantMeter", "Meter", "PanopticMeter",
 ]

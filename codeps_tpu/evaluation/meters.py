@@ -64,6 +64,27 @@ class AverageMeter(ConstantMeter):
         return self.mean
 
 
+class PanopticMeter(AverageMeter):
+    """Accumulates (iou_sum, tp, fn, fp) rows and derives per-class PQ.
+
+    Parity: eval/meters.py:102-111 — PQ = iou / (tp + 0.5*fn + 0.5*fp),
+    averaged over classes for the scalar value.
+    """
+
+    def __init__(self, num_classes: int, momentum: float = 1.0):
+        super().__init__((4, num_classes), momentum)
+
+    def panoptic(self):
+        denom = self.sum[1] + 0.5 * self.sum[2] + 0.5 * self.sum[3]
+        return self.sum[0] / np.maximum(denom, 1e-8)
+
+    @property
+    def value(self):
+        if self.count == 0:
+            return np.float32(0.0)
+        return self.panoptic().mean()
+
+
 class ConfusionMatrixMeter(AverageMeter):
     def __init__(self, num_classes: int, momentum: float = 1.0):
         super().__init__((num_classes, num_classes), momentum)

@@ -17,7 +17,10 @@ from codeps_tpu.data.labels import get_labels
 
 
 def denormalize_rgb(image: np.ndarray, rgb_mean, rgb_std) -> np.ndarray:
-    """(H, W, 3) normalized float -> uint8 RGB."""
+    """(H, W, 3) normalized float -> uint8 RGB (uint8 passes through:
+    the uint8-transfer path keeps raw bytes on the host)."""
+    if image.dtype == np.uint8:
+        return image
     out = image * np.asarray(rgb_std) + np.asarray(rgb_mean)
     return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 

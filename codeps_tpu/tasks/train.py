@@ -41,7 +41,7 @@ from codeps_tpu.tasks.state import TrainState
 
 
 def make_loss_fn(modules: CodepsModules, cfg, class_weights,
-                 sem_ignore_classes=None):
+                 sem_ignore_classes=None, train: bool = True):
     """Build the pure loss function for pretraining.
 
     Args:
@@ -49,6 +49,8 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
         removed classes, model_setup.py:100-101).
       sem_ignore_classes: classes excluded from the semantic loss/argmax
         (SemKITTI adaptation-source case, semantic_seg.py:50-57,173-179).
+      train: BN mode — False computes validation losses with running
+        statistics (model.eval() in validate(), train_codeps.py:206).
     """
     weights = {k: v for k, v in cfg.losses.weights.items()}
     num_scales = cfg.depth.num_recon_scales
@@ -76,7 +78,7 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
         if make_depth and make_flow:
             frames = batch["frames"]  # (B, 3, H, W, 3): [t, t-1, t+1]
             per_frame_feats, enc_stats = encode_frames(
-                modules, params, batch_stats, frames, train=True)
+                modules, params, batch_stats, frames, train=train)
             feats_t = per_frame_feats[0]
             feats_neighbors = per_frame_feats[1:]
         else:
@@ -84,7 +86,7 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
                           else batch["image"])
             feats_t, enc_stats = apply_encoder(
                 modules.backbone_po_depth, params["backbone_po_depth"],
-                batch_stats["backbone_po_depth"], center_img, train=True)
+                batch_stats["backbone_po_depth"], center_img, train=train)
             feats_neighbors = None
         new_stats["backbone_po_depth"] = enc_stats
 
@@ -93,7 +95,7 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
             frames = batch["frames"]
             images = [frames[:, 0], frames[:, 1], frames[:, 2]]
             fwd = depth_forward(modules, params, batch_stats, images,
-                                feats_t, train=True,
+                                feats_t, train=train,
                                 feats_neighbors=feats_neighbors)
             new_stats["backbone_pose_sflow"] = fwd["pose_batch_stats"]
             rng, sub = jax.random.split(rng)
@@ -135,10 +137,16 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
         if make_instance:
             variables = {"params": params["instance_head"],
                          "batch_stats": batch_stats["instance_head"]}
-            (center_pred, offset_pred, thing_mask_probs), updates = \
-                modules.instance_head.apply(variables, feats_t, train=True,
-                                            mutable=["batch_stats"])
-            new_stats["instance_head"] = updates["batch_stats"]
+            if train:
+                (center_pred, offset_pred, thing_mask_probs), updates = \
+                    modules.instance_head.apply(variables, feats_t,
+                                                train=True,
+                                                mutable=["batch_stats"])
+                new_stats["instance_head"] = updates["batch_stats"]
+            else:
+                center_pred, offset_pred, thing_mask_probs = \
+                    modules.instance_head.apply(variables, feats_t,
+                                                train=False)
             losses["center"] = center_loss(center_pred, batch["center"],
                                            batch.get("center_weights"))
             losses["offset"] = offset_loss(offset_pred, batch["offset"],

@@ -20,22 +20,64 @@ from codeps_tpu.tasks.adapt import make_eval_step, make_gt_panoptic_step
 
 def run_validation(cfg, modules, params, batch_stats, loader,
                    thing_list, stuff_list, ignore_classes=(),
-                   max_batches=None, offsets=(1,)) -> Dict[str, Any]:
-    """Evaluate params over a loader; returns aggregate metrics."""
+                   max_batches=None, offsets=(1,),
+                   compute_loss: bool = False,
+                   class_weights=None,
+                   gen_visuals: bool = False,
+                   label_mode: str = "codeps") -> Dict[str, Any]:
+    """Evaluate params over a loader; returns aggregate metrics.
+
+    With ``compute_loss=True`` also reports the unweighted validation
+    losses under ``val_loss_*`` keys plus ``val_loss`` (the weighted
+    total), as validate(compute_loss=True) does
+    (train_codeps.py:204-205,244-254). BN runs with running statistics
+    (model.eval()).
+
+    With ``gen_visuals=True`` the returned dict carries a
+    ``visual_panels`` entry — colorized rgb/depth/semantic/panoptic
+    panels of the first batch for wandb image logging
+    (train_codeps.py:341-357).
+    """
     eval_step = make_eval_step(modules, cfg, thing_list, ignore_classes)
     gt_panoptic = make_gt_panoptic_step(modules, thing_list)
     num_classes = modules.num_classes
 
+    loss_step = None
+    if compute_loss:
+        import jax
+
+        from codeps_tpu.tasks.train import make_loss_fn
+        if class_weights is None:
+            class_weights = jnp.asarray(cfg.semantics.class_weights,
+                                        jnp.float32)
+        val_loss_fn = make_loss_fn(modules, cfg, class_weights, train=False)
+        loss_step = jax.jit(
+            lambda p, s, rng, b: val_loss_fn(p, s, rng, b)[:2])
+        loss_rng = jax.random.PRNGKey(0)
+
     conf_total = np.zeros((num_classes, num_classes), np.int64)
+    loss_sums: Dict[str, float] = {}
+    loss_count = 0
     depth_sums: Dict[str, float] = {}
     depth_count = 0
     panoptic_eval = PanopticEvaluator(list(stuff_list), list(thing_list))
+    first_visuals = None
 
     for batch_index, batch_np in enumerate(loader):
         if max_batches is not None and batch_index >= max_batches:
             break
         batch = {key: jnp.asarray(value) for key, value in batch_np.items()}
         results, stats = eval_step(params, batch_stats, batch)
+
+        if loss_step is not None:
+            total, (losses, _, _) = loss_step(params, batch_stats,
+                                              loss_rng, batch)
+            loss_sums["val_loss"] = (loss_sums.get("val_loss", 0.0)
+                                     + float(total))
+            for key, value in losses.items():
+                loss_sums[f"val_loss_{key}"] = \
+                    loss_sums.get(f"val_loss_{key}", 0.0) + float(value)
+            loss_count += 1
 
         if "sem_conf" in stats:
             conf_total += np.asarray(stats["sem_conf"], np.int64)
@@ -44,6 +86,11 @@ def run_validation(cfg, modules, params, batch_stats, loader,
                 depth_sums[key] = depth_sums.get(key, 0.0) + float(value)
         if any(key.startswith("d_") for key in stats):
             depth_count += 1
+
+        if gen_visuals and batch_index == 0:
+            first_visuals = (batch_np,
+                             {k: np.asarray(v) for k, v in results.items()
+                              if hasattr(v, "shape")})
 
         if "panoptic" in results and "center" in batch_np:
             gt_sem = batch.get("semantic_eval", batch.get("semantic"))
@@ -54,6 +101,19 @@ def run_validation(cfg, modules, params, batch_stats, loader,
                                      np.asarray(results["panoptic"]))
 
     metrics: Dict[str, Any] = {}
+    if first_visuals is not None:
+        from codeps_tpu.io.visualizations import gen_visualizations
+        sample_np, results_np = first_visuals
+        norm = cfg.dataset.normalization
+        mean = norm.rgb_mean if norm.active else (0.0, 0.0, 0.0)
+        std = norm.rgb_std if norm.active else (1.0, 1.0, 1.0)
+        metrics["visual_panels"] = gen_visualizations(
+            sample_np, results_np, mean, std,
+            remove_classes=tuple(cfg.dataset.remove_classes),
+            label_mode=label_mode)
+    if loss_count:
+        for key, value in loss_sums.items():
+            metrics[key] = value / loss_count
     if conf_total.sum() > 0:
         per_class = compute_sem_miou(conf_total, num_classes,
                                      ignore_classes)

@@ -116,10 +116,12 @@ def main():
                               seed=args.seed,
                               shard_index=jax.process_index(),
                               num_shards=jax.process_count())
+    # Validation runs unsharded (run_validation jits per batch shape), so
+    # no device multiplier; drop_last would silently skip small val sets.
     val_loader = DataLoader(val_dataset,
-                            cfg.val.batch_size_per_gpu * num_devices,
+                            cfg.val.batch_size_per_gpu,
                             cfg.dataset.offsets, shuffle=False,
-                            drop_last=True)
+                            drop_last=False)
 
     num_classes = train_dataset.num_classes
     compute_dtype = (jnp.bfloat16 if cfg.tpu.compute_dtype == "bfloat16"
@@ -189,13 +191,19 @@ def main():
             metrics = run_validation(
                 cfg, modules, state.params, state.batch_stats, val_loader,
                 train_dataset.thing_classes, train_dataset.stuff_classes,
-                train_dataset.ignore_classes)
+                train_dataset.ignore_classes, compute_loss=True,
+                class_weights=jnp.asarray(class_weights, jnp.float32),
+                gen_visuals=wandb_logger.enabled,
+                label_mode=cfg.dataset.label_mode)
             log_info("Val epoch %d: %s", epoch,
                      {k: round(float(v), 4) for k, v in metrics.items()
                       if np.ndim(v) == 0})
             wandb_logger.log_scalars("val", metrics={
                 k: v for k, v in metrics.items() if np.ndim(v) == 0},
                 step=global_step)
+            if "visual_panels" in metrics:
+                wandb_logger.log_images("val", metrics["visual_panels"],
+                                        step=global_step)
 
         if args.max_steps and global_step >= args.max_steps:
             break
