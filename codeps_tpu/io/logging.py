@@ -71,6 +71,7 @@ class WandbLogger:
                  config: Optional[dict] = None):
         self.enabled = enabled and _HAS_WANDB
         self.run = None
+        self._depth_series: Dict = {}
         if self.enabled:
             self.run = _wandb.init(project=project, entity=entity,
                                    name=run_name, config=config)
@@ -96,6 +97,60 @@ class WandbLogger:
             return
         self.run.log({f"{prefix}/{k}": _wandb.Image(v)
                       for k, v in images.items()}, step=step)
+
+    def log_panoptic_table(self, mode: str, panoptic_scores: Dict,
+                           remove_classes, label_mode: str,
+                           step: int = 0) -> None:
+        """Per-class PQ/SQ/RQ table (io_utils/logging.py:196-213)."""
+        if not self.enabled:
+            return
+        from codeps_tpu.data.labels import get_labels
+        id2name = {label.trainId: label.name
+                   for label in get_labels(remove_classes, label_mode)}
+        columns, pq, sq, rq = [""], ["PQ"], ["SQ"], ["RQ"]
+        for category, scores in panoptic_scores.get("per_class",
+                                                    {}).items():
+            columns.append(id2name.get(category, str(category)))
+            pq.append(scores["pq"])
+            sq.append(scores["sq"])
+            rq.append(scores["rq"])
+        table = _wandb.Table(data=[pq, sq, rq], columns=columns)
+        self.run.log({f"{mode}_metrics/panoptic": table}, step=step)
+
+    def log_depth_per_class(self, metrics: Dict[str, float],
+                            remove_classes, label_mode: str,
+                            step: int = 0) -> None:
+        """Per-semantic-class depth line series
+        (io_utils/logging.py:215-308): accumulates d_<metric>_c<i> values
+        across calls and logs wandb line_series plots keyed by class
+        name."""
+        if not self.enabled:
+            return
+        from codeps_tpu.data.labels import get_labels
+        id2name = {label.trainId: label.name
+                   for label in get_labels(remove_classes, label_mode)}
+        series = self._depth_series
+        for key, value in metrics.items():
+            if not key.startswith("d_") or "_c" not in key:
+                continue
+            metric, _, cls = key.rpartition("_c")
+            try:
+                name = id2name.get(int(cls), f"c{cls}")
+                value = float(value)
+            except (TypeError, ValueError):
+                continue
+            entry = series.setdefault(metric, {"xs": [], "ys": {}})
+            if step not in entry["xs"]:
+                entry["xs"].append(step)
+            entry["ys"].setdefault(name, []).append(value)
+        payload = {}
+        for metric, entry in series.items():
+            keys = list(entry["ys"])
+            payload[metric] = _wandb.plot.line_series(
+                xs=entry["xs"], ys=[entry["ys"][k] for k in keys],
+                keys=keys, title=metric)
+        if payload:
+            self.run.log(payload, step=step)
 
     def finish(self) -> None:
         if self.enabled and self.run is not None:

@@ -166,6 +166,16 @@ def main():
         metrics={k: m.value for k, m in meters["metrics"].items()
                  if np.ndim(m.value) == 0},
         step=len(runner.step_times))
+    if runner.panoptic_eval.pq_stats.pq_per_cat:
+        wandb_logger.log_panoptic_table(
+            "adapt", runner.panoptic_eval.evaluate(),
+            cfg.dataset.remove_classes, cfg.dataset.label_mode,
+            step=len(runner.step_times))
+    wandb_logger.log_depth_per_class(
+        {k: m.value for k, m in meters["metrics"].items()
+         if np.ndim(m.value) == 0},
+        cfg.dataset.remove_classes, cfg.dataset.label_mode,
+        step=len(runner.step_times))
 
     if args.save_buffer_state:
         replay_buffer.save_state(args.save_buffer_state)

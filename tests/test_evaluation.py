@@ -139,3 +139,24 @@ def test_depth_metrics_per_class_match_reference():
     for key, value in ref.items():
         np.testing.assert_allclose(np.asarray(ours[key]), value.numpy(),
                                    rtol=1e-3, atol=1e-4, err_msg=key)
+
+
+def test_panoptic_meter_matches_reference():
+    from codeps_tpu.evaluation import PanopticMeter
+    from eval.meters import PanopticMeter as RefPanopticMeter
+
+    num_classes = 5
+    ours = PanopticMeter(num_classes, momentum=0.9)
+    ref = RefPanopticMeter((4, num_classes), momentum=0.9)
+    for _ in range(4):
+        # iou sums, tp, fn, fp — keep denominators positive so the
+        # reference's unguarded division stays finite.
+        stats = np.stack([RNG.uniform(0, 3, num_classes),
+                          RNG.integers(1, 5, num_classes),
+                          RNG.integers(0, 3, num_classes),
+                          RNG.integers(0, 3, num_classes)]).astype(np.float32)
+        ours.update(stats)
+        ref.update(torch.tensor(stats))
+    np.testing.assert_allclose(ours.panoptic(), ref.panoptic().numpy(),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(ours.value), float(ref.avg), rtol=1e-6)

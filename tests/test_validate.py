@@ -39,3 +39,35 @@ def test_run_validation_metrics(tmp_path):
     assert np.isfinite(metrics["d_abs_rel"])
     assert "p_pq" in metrics
     assert metrics["sem_conf"].sum() == 4 * 32 * 64
+
+
+def test_run_validation_losses_and_visuals(tmp_path):
+    root = make_cityscapes_tree(tmp_path / "cs2", num_frames=4,
+                                split="val")
+    cfg = gen_config(freeze=False)
+    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.dataset.name = "cityscapes"
+    cfg.dataset.path = str(root)
+    cfg.dataset.feed_img_size = [32, 64]
+    cfg.dataset.center_heatmap_sigma = 4
+    cfg.semantics.class_weights = [1.0] * 14
+    cfg.freeze()
+
+    dataset = Cityscapes("val", cfg.dataset, return_depth=True,
+                         label_mode="codeps")
+    loader = DataLoader(dataset, batch_size=2, offsets=[1], shuffle=False,
+                        num_threads=1)
+    modules = build_modules(cfg, 14)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+
+    metrics = run_validation(cfg, modules, params, stats, loader,
+                             dataset.thing_classes, dataset.stuff_classes,
+                             dataset.ignore_classes, compute_loss=True,
+                             gen_visuals=True)
+    assert np.isfinite(metrics["val_loss"])
+    for key in ("val_loss_semantic", "val_loss_depth_recon",
+                "val_loss_center", "val_loss_offset"):
+        assert np.isfinite(metrics[key]), key
+    panels = metrics["visual_panels"]
+    assert panels and all(v.dtype == np.uint8 and v.ndim == 3
+                          for v in panels.values())
