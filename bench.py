@@ -170,11 +170,19 @@ def main():
         _bench_train(cfg, modules, params, stats, num_classes, num_steps,
                      hs, ws)
         return
+    eval_forward = None
+    if mode == "loop":
+        # Loop mode mirrors AdaptationRunner: teacher metrics-eval folded
+        # into the adapt executable (one dispatch per frame).
+        from codeps_tpu.tasks.adapt import build_eval_forward
+        eval_forward = build_eval_forward(modules, cfg,
+                                          thing_list=(9, 10, 11, 12, 13))
     step = make_adapt_step(
         modules, cfg, tx, class_weights=[1.0] * num_classes,
         ema_modules=("semantic_head",), frozen_modules=frozen,
         has_replay=True, num_mixup=num_mixup,
-        fused_cut_mixup=(mode == "loop"), donate=True)
+        fused_cut_mixup=(mode == "loop"), donate=True,
+        eval_forward=eval_forward)
 
     rng = np.random.default_rng(0)
 
@@ -222,12 +230,7 @@ def main():
         # all in-jit) + buffer-add features. Per frame the host only
         # draws cut cells and uploads fresh frame data.
         from codeps_tpu.native.simindex import SimIndex
-        from codeps_tpu.tasks.adapt import make_eval_step
 
-        eval_step = make_eval_step(modules, cfg,
-                                   thing_list=(9, 10, 11, 12, 13))
-        eval_batch = {"frames": batch["target"]["frames"],
-                      "camera": batch["target"]["camera"]}
         nof_splits = (cfg.adapt.mixup.cut_mix.nof_vert_splits
                       * cfg.adapt.mixup.cut_mix.nof_hor_splits)
         nof_segments = cfg.adapt.mixup.cut_mix.nof_segments
@@ -250,19 +253,27 @@ def main():
         sim_index = SimIndex(modules.backbone_po_depth.num_ch_enc[-1])
         host_rng = np.random.default_rng(0)
 
+        pending_add = [None]
+
         def one_frame(state, frame_idx):
-            results, _ = eval_step(state.ema_params, state.ema_batch_stats,
-                                   eval_batch)
             cells = np.stack([host_rng.choice(nof_splits, nof_segments,
                                               replace=False)
                               for _ in range(num_mixup)]).astype(np.int32)
             loop_batch["mixup"]["cut_cells"] = jnp.asarray(cells)
-            state, metrics, features = step(state, loop_batch)
-            feats = np.asarray(features)[0].mean(axis=(0, 1))[None]
-            feats /= max(np.linalg.norm(feats), 1e-9)
-            sim_index.add_with_ids(feats, np.asarray([frame_idx]))
-            if sim_index.ntotal > 1:
-                sim_index.search(feats, 1)
+            state, metrics, features, results, _ = step(state, loop_batch)
+            # deferred diversity add (AdaptationRunner parity): start the
+            # (1, C) copy now, consume it next frame
+            if pending_add[0] is not None:
+                feats, idx = pending_add[0]
+                feats = np.asarray(feats)
+                sim_index.add_with_ids(feats, np.asarray([idx]))
+                if sim_index.ntotal > 1:
+                    sim_index.search(feats, 1)
+            try:
+                features.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending_add[0] = (features, frame_idx)
             return state, metrics
 
         def timed_frames(state, n, base):

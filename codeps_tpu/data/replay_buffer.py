@@ -360,7 +360,11 @@ class ReplayBuffer:
         feats = np.asarray(image_features, np.float32)
         if feats.ndim == 4:
             feats = feats[0]
-        flattened = feats.mean(axis=(0, 1), keepdims=False)[None]  # (1, C)
+        if feats.ndim == 3:
+            feats = feats.mean(axis=(0, 1))
+        elif feats.ndim == 2:
+            feats = feats[0]  # already pooled in-jit: (1, C)
+        flattened = feats[None]  # (1, C)
         norm = np.linalg.norm(flattened, axis=1, keepdims=True)
         flattened = flattened / np.maximum(norm, 1e-12)
 

@@ -49,15 +49,20 @@ DIST_BUFFER_LEN = 300
 
 # --------------------------------------------------------------- teacher
 
-def make_eval_step(modules: CodepsModules, cfg, thing_list,
-                   eval_ignore_classes=(),
-                   class_wise_depth_stats: bool = False):
-    """Jitted teacher evaluation of the incoming target frame.
+def build_eval_forward(modules: CodepsModules, cfg, thing_list,
+                       eval_ignore_classes=(),
+                       class_wise_depth_stats: bool = False):
+    """Traceable teacher evaluation of the incoming target frame.
 
     Mirrors CodepsNet.forward eval mode (online_adap.py:142-181) +
     panoptic fusion; returns predictions and metric ingredients.
     ``class_wise_depth_stats`` adds per-semantic-class depth metrics
     (do_class_wise_depth_stats path, adapt_codeps.py:46,232-236).
+
+    Returned un-jitted so make_adapt_step can inline it into the
+    adaptation executable: there XLA CSE merges the teacher forward with
+    the fused-mixup pseudo-label forward (same params, same frame),
+    making the per-frame metrics eval nearly free.
     """
     from codeps_tpu.evaluation.depth_metrics import (
         compute_depth_metrics_per_class)
@@ -118,7 +123,17 @@ def make_eval_step(modules: CodepsModules, cfg, thing_list,
             results["instance"] = inst
         return results, stats
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_eval_step(modules: CodepsModules, cfg, thing_list,
+                   eval_ignore_classes=(),
+                   class_wise_depth_stats: bool = False):
+    """Jitted standalone teacher eval (validation paths, eval-only
+    adaptation mode)."""
+    return jax.jit(build_eval_forward(modules, cfg, thing_list,
+                                      eval_ignore_classes,
+                                      class_wise_depth_stats))
 
 
 def make_plabel_step(modules: CodepsModules):
@@ -189,8 +204,18 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     num_mixup: int = 0,
                     fused_cut_mixup: bool = False,
                     sem_ignore_classes=None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    eval_forward=None):
     """Build the jitted adaptation train step.
+
+    When ``eval_forward`` (from build_eval_forward) is given, the step
+    also evaluates the EMA teacher on the incoming target frame inside
+    the same executable — batch may carry an ``eval_gt`` subtree
+    (depth_gt/semantic/semantic_eval) for the metric stats — and returns
+    ``(state, metrics, features, eval_results, eval_stats)``. With the
+    fused cut-mixup path, XLA CSE shares the teacher forward between the
+    eval and the pseudo-label prep, so the reference's separate per-frame
+    teacher eval pass (adapt_codeps.py:167-186) costs ~nothing here.
 
     Batch layout (all NHWC, frame axis order [t, t-1, t+1]):
       target: frames (1, 3, Ht, Wt, 3), camera (1, 4)
@@ -485,8 +510,15 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 total = total + weight * value
 
         # replay-buffer diversity features: last-stage target features
-        # (online_adap.py:428)
-        aux["image_features"] = jax.lax.stop_gradient(target_feats[-1])
+        # (online_adap.py:428), mean-pooled + L2-normalized in-jit so the
+        # host fetches a (1, C) vector instead of the full feature map
+        # (4 MB -> 8 KB per frame; the buffer consumes only the pooled
+        # vector, replay_buffer.py:395-400).
+        last = jax.lax.stop_gradient(target_feats[-1])
+        pooled = jnp.mean(last.astype(jnp.float32), axis=(1, 2))  # (B, C)
+        pooled = pooled / jnp.maximum(
+            jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-12)
+        aux["image_features"] = pooled
         aux["losses"] = losses
         aux["mixup_losses"] = aux_mixup
         return total, aux
@@ -514,6 +546,15 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
     def adapt_step(state: AdaptState, batch):
         rng, sub_dist, sub_loss = jax.random.split(state.rng, 3)
+
+        eval_out = None
+        if eval_forward is not None:
+            # Teacher metrics-eval on the pre-update EMA params — same
+            # ordering as the reference (eval before update_weights).
+            eval_batch = {"frames": batch["target"]["frames"]}
+            eval_batch.update(batch.get("eval_gt", {}))
+            eval_out = eval_forward(state.ema_params,
+                                    state.ema_batch_stats, eval_batch)
 
         if make_depth:
             dist = _pose_distance(state.params, state.batch_stats, batch,
@@ -560,6 +601,9 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             opt_state=new_opt_state, step=state.step + 1, rng=rng,
             dist_buffer=dist_buffer, dist_count=dist_count,
             dist_head=dist_head, ema_alpha=state.ema_alpha)
+        if eval_forward is not None:
+            return (new_state, metrics, aux["image_features"],
+                    eval_out[0], eval_out[1])
         return new_state, metrics, aux["image_features"]
 
     return jax.jit(adapt_step, donate_argnums=(0,) if donate else ())

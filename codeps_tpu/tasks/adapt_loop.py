@@ -98,12 +98,21 @@ class AdaptationRunner:
         # composition), eliminating all mixup host round-trips.
         self.fused_mixup = (self.mixup_active and num_mixup > 0
                             and all(s == "cut_mixup" for s in strategies))
+        # Teacher metrics-eval folded into the adapt executable: one
+        # dispatch and one upload of the target frames per adaptation
+        # step instead of two (the standalone eval_step remains for the
+        # eval-only mode). Same math, same pre-update teacher params.
+        from codeps_tpu.tasks.adapt import build_eval_forward
+        eval_forward = build_eval_forward(
+            modules, cfg, self.thing_list, self.ignore_classes,
+            class_wise_depth_stats=do_class_wise)
         common = dict(
             modules=modules, cfg=cfg, tx=tx, class_weights=class_weights,
             ema_modules=self.ema_modules,
             frozen_modules=self.frozen_modules, num_mixup=num_mixup,
             fused_cut_mixup=self.fused_mixup,
-            sem_ignore_classes=list(self.ignore_classes) or None)
+            sem_ignore_classes=list(self.ignore_classes) or None,
+            eval_forward=eval_forward)
         self.adapt_step_with_replay = make_adapt_step(has_replay=True,
                                                       **common)
         self.adapt_step_no_replay = make_adapt_step(has_replay=False,
@@ -150,6 +159,22 @@ class AdaptationRunner:
         return meters
 
     # ------------------------------------------------------------------
+
+    def _target_gt(self, sample) -> Dict[str, Any]:
+        """GT-only subtree for the in-step teacher eval (no frame
+        re-upload — the step reads frames from the adapt batch)."""
+        target = sample["target"]
+        gt: Dict[str, Any] = {}
+        if "semantic" in target:
+            gt["semantic"] = jnp.asarray(
+                np.asarray(target["semantic"], np.int32)[None])
+            if "semantic_eval" in target:
+                gt["semantic_eval"] = jnp.asarray(
+                    np.asarray(target["semantic_eval"], np.int32)[None])
+        if "depth" in target:
+            gt["depth_gt"] = jnp.asarray(
+                np.asarray(target["depth"], np.float32)[None])
+        return gt
 
     def _target_eval_batch(self, sample) -> Dict[str, Any]:
         batch = {
@@ -403,6 +428,12 @@ class AdaptationRunner:
         import concurrent.futures
         executor = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         pending = executor.submit(self.buffer.__getitem__, 0)
+        # Deferred buffer-add: the feature vector is fetched
+        # asynchronously and added one frame later — consistent with the
+        # existing prefetch ordering (the next frame's replay sampling
+        # already precedes the current frame's add, see note above), and
+        # it keeps the device->host copy off the frame's critical path.
+        pending_add = None
 
         for it in range(num_frames):
             sample = pending.result()
@@ -412,29 +443,39 @@ class AdaptationRunner:
                 continue
             start = time.time()
 
-            # 1. teacher eval + metrics (before adaptation)
-            eval_batch = self._target_eval_batch(sample)
-            results, stats = self.eval_step(self.state.ema_params,
-                                            self.state.ema_batch_stats,
-                                            eval_batch)
-            self._update_metrics(sample, eval_batch, results, stats)
-
-            if not self.disable_adaptation:
-                # 2. mixup pseudo-labels + composition (host path only;
+            if self.disable_adaptation:
+                # eval-only mode: standalone teacher eval
+                eval_batch = self._target_eval_batch(sample)
+                results, stats = self.eval_step(self.state.ema_params,
+                                                self.state.ema_batch_stats,
+                                                eval_batch)
+                self._update_metrics(sample, eval_batch, results, stats)
+            else:
+                # 1. mixup pseudo-labels + composition (host path only;
                 # the fused cut-mixup path composes inside the step)
                 mixup_samples = []
                 if self.mixup_active and not self.fused_mixup:
                     mixup_samples = self._compose_mixups(sample)
 
-                # 3. jitted gradient steps
+                # 2. jitted gradient steps; the first one also evaluates
+                # the pre-update EMA teacher on the incoming frame
+                # (in-executable metrics eval — adapt_codeps.py:167-186
+                # runs this as a separate pass)
                 batch = self._adapt_batch(sample, mixup_samples)
+                eval_gt = self._target_gt(sample)
+                batch["eval_gt"] = eval_gt
                 step_fn = (self.adapt_step_with_replay
                            if "target_replay" in batch
                            else self.adapt_step_no_replay)
                 features = None
+                results = stats = None
                 for _ in range(self.adaptation_steps):
-                    self.state, metrics, features = step_fn(self.state,
-                                                            batch)
+                    (self.state, metrics, features,
+                     step_results, step_stats) = step_fn(self.state, batch)
+                    if results is None:
+                        results, stats = step_results, step_stats
+                if results is not None:
+                    self._update_metrics(sample, eval_gt, results, stats)
                 for name, value in metrics.items():
                     if name in self.meters["losses"]:
                         self.meters["losses"][name].update(
@@ -457,9 +498,18 @@ class AdaptationRunner:
                     np.asarray(metrics["loss_total"])
                     / self.adaptation_steps)
 
-                # 4. replay buffer diversity add
+                # 4. replay buffer diversity add (previous frame's
+                # vector; this frame's copy starts now, asynchronously)
+                if pending_add is not None:
+                    self.buffer.add(pending_add[0],
+                                    np.asarray(pending_add[1]))
+                    pending_add = None
                 if features is not None:
-                    self.buffer.add(sample["index"], np.asarray(features))
+                    try:
+                        features.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    pending_add = (sample["index"], features)
 
             self.step_times.append(time.time() - start)
 
@@ -475,5 +525,7 @@ class AdaptationRunner:
                 self.meters["metrics"]["sem_conf_interval"] = \
                     ConfusionMatrixMeter(self.num_classes)
 
+        if pending_add is not None:
+            self.buffer.add(pending_add[0], np.asarray(pending_add[1]))
         executor.shutdown(wait=False, cancel_futures=True)
         return self.meters
