@@ -229,3 +229,123 @@ def test_adapt_step_fused_cut_mixup():
     assert float(metrics["semantic_mixup_weighted"]) > 0
     assert metrics["mixup_losses"].shape == (2,)
     assert np.isfinite(float(metrics["loss_total"]))
+
+
+def test_adapt_step_source_thing_mask_loss():
+    """use_thing_mask configs: the adapt step computes the source
+    thing-mask CE (algos/instance_seg.py:177-182) and weights it into the
+    total when cfg.losses.weights.thing_mask_source is set (the reference
+    computes-but-drops it, online_adap.py:408-416 — documented upgrade)."""
+    cfg = _cfg()
+    cfg.model.instance_head.use_thing_mask = True
+    cfg.losses.weights["thing_mask_source"] = 0.5
+    frozen = ("backbone_po_depth",)  # instance head live so it trains
+    modules, state, tx = _modules_state(cfg, frozen)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=2, donate=False)
+    batch = _adapt_batch()
+    batch["source"]["thing_mask"] = jnp.asarray(RNG.integers(
+        0, 2, (2, HS, WS)).astype(np.int32))
+
+    new_state, metrics, _ = step(state, batch)
+    tm = float(metrics["thing_mask_source"])
+    assert np.isfinite(tm) and tm > 0
+    # weighted into the total
+    wdict = {k: v for k, v in cfg.losses.weights.items()}
+    weighted = sum(
+        (wdict[k] or 0.0) * float(v) for k, v in metrics.items()
+        if k in wdict and np.ndim(np.asarray(v)) == 0)
+    total = float(metrics["loss_total"])
+    contrib = float(metrics["semantic_mixup_weighted"])
+    np.testing.assert_allclose(total, weighted + contrib, rtol=2e-4)
+
+
+def test_ema_blends_once_per_frame_at_n_steps():
+    """nof_adaptation_steps=3: the EMA teacher must equal the reference
+    formula applied ONCE to the final student params (update_weights is
+    called after the N-step loop, adapt_codeps.py:268-299) — the traced
+    do_ema flag keeps the teacher untouched on steps 0..N-2."""
+    cfg = _cfg()
+    frozen = ("backbone_po_depth", "instance_head")
+    modules, state, tx = _modules_state(cfg, frozen)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=2, donate=False)
+    batch = _adapt_batch()
+
+    ema0_sem = jax.tree.map(jnp.array, state.ema_params["semantic_head"])
+    ema0_depth = jax.tree.map(jnp.array, state.ema_params["depth_head"])
+    s = state
+    for i in range(3):
+        batch["do_ema"] = np.asarray(i == 2)
+        s, metrics, _ = step(s, batch)
+        if i < 2:
+            # teacher untouched mid-loop
+            delta = jax.tree.map(lambda e, o: float(jnp.abs(e - o).max()),
+                                 s.ema_params["semantic_head"], ema0_sem)
+            assert max(jax.tree.leaves(delta)) == 0.0
+            delta = jax.tree.map(lambda e, o: float(jnp.abs(e - o).max()),
+                                 s.ema_params["depth_head"], ema0_depth)
+            assert max(jax.tree.leaves(delta)) == 0.0
+
+    # EMA module: alpha*ema0 + (1-alpha)*student_final, applied once
+    expected = jax.tree.map(lambda e, p: 0.99 * e + 0.01 * p,
+                            ema0_sem, s.params["semantic_head"])
+    err = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                       s.ema_params["semantic_head"], expected)
+    assert max(jax.tree.leaves(err)) < 1e-6
+    # non-EMA live module: copied verbatim from the final student
+    err = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                       s.ema_params["depth_head"], s.params["depth_head"])
+    assert max(jax.tree.leaves(err)) == 0.0
+
+
+def test_sharded_adapt_step_over_mesh():
+    """Data-parallel adaptation over the 8-device CPU mesh.
+
+    Sharding layout (see __graft_entry__._dryrun_adapt): the batch-1
+    online target triplet is replicated (the stream is sequential,
+    scripts/adapt_codeps.py:155-307); source-replay / target-replay /
+    mixup sub-batches are sharded over the data axis. Their per-domain
+    losses are batch means, so the sharded step must equal the
+    single-device step on the same global batch (SPMD semantics).
+    """
+    from codeps_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = _cfg()
+    frozen = ("backbone_po_depth", "instance_head")
+    modules, state, tx = _modules_state(cfg, frozen)
+    # mixup omitted to keep the two 1-core-CPU XLA compiles tractable;
+    # the driver dryrun (__graft_entry__._dryrun_adapt) runs the fused
+    # cut-mixup variant on the same 8-device mesh.
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=0, donate=False)
+
+    batch = _adapt_batch(num_source=8, num_replay=8)
+    batch.pop("mixup")
+
+    new_state, metrics, feats = step(state, batch)
+    loss_single = float(metrics["loss_total"])
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    state_r = replicate(state, mesh)
+    batch_s = dict(batch)
+    batch_s["target"] = replicate(batch["target"], mesh)
+    for key in ("source", "target_replay"):
+        batch_s[key] = shard_batch(batch[key], mesh)
+
+    new_state_s, metrics_s, feats_s = step(state_r, batch_s)
+    loss_sharded = float(metrics_s["loss_total"])
+    np.testing.assert_allclose(loss_sharded, loss_single, rtol=1e-5)
+    # updated params identical too (replicated grads == global grads)
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        new_state.params["semantic_head"],
+        new_state_s.params["semantic_head"])
+    assert max(jax.tree.leaves(delta)) < 1e-5
