@@ -33,7 +33,8 @@ import optax
 
 from codeps_tpu.evaluation.depth_metrics import compute_depth_metrics
 from codeps_tpu.evaluation.semantic_metrics import compute_confusion_matrix
-from codeps_tpu.losses import (center_loss, edge_aware_smoothness_loss,
+from codeps_tpu.losses import (binary_mask_loss, center_loss,
+                               edge_aware_smoothness_loss,
                                ema_consistency_loss, flow_smoothness_loss,
                                flow_sparsity_loss, offset_loss,
                                reconstruction_loss, semantic_loss)
@@ -454,17 +455,15 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     mix_rgb, train=encoder_train)
                 sem_mix = modules.semantic_head.apply(
                     {"params": params["semantic_head"]}, mix_feats)
-                per_sample = []
-                for i in range(num_mixup):
-                    per_sample.append(semantic_loss(
-                        sem_mix[i:i + 1],
-                        mix_semantic[i:i + 1],
-                        jnp.ones_like(mix_semantic[i:i + 1],
-                                      dtype=jnp.float32),
-                        class_weights=class_weights,
-                        ignore_labels=sem_ignore_classes,
-                        top_k_percent_pixels=top_k))
-                mixup_losses = jnp.stack(per_sample)
+                # per-sample top-k pools (semantic_seg.py:219-225),
+                # batched into one traced loss
+                from codeps_tpu.losses import semantic_loss_per_sample
+                mixup_losses = semantic_loss_per_sample(
+                    sem_mix, mix_semantic,
+                    jnp.ones_like(mix_semantic, dtype=jnp.float32),
+                    class_weights=class_weights,
+                    ignore_labels=sem_ignore_classes,
+                    top_k_percent_pixels=top_k)
                 aux_mixup = mixup_losses
                 losses["semantic_mixup_weighted"] = jnp.sum(
                     mixup_losses * batch["mixup"]["loss_weight"])
@@ -484,11 +483,22 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 return modules.instance_head.apply(variables, feats,
                                                    train=False)
 
-            center_src, offset_src, _ = _instance_apply(source_feats)
+            center_src, offset_src, thing_mask_src = _instance_apply(
+                source_feats)
             losses["center_source"] = center_loss(
                 center_src, batch["source"]["center"])
             losses["offset_source"] = offset_loss(
                 offset_src, batch["source"]["offset"])
+            # Source thing-mask CE behind use_thing_mask: the reference
+            # computes it in InstanceSegAlgo.adaptation
+            # (algos/instance_seg.py:177-182) but never adds it to the
+            # adapt loss dict (online_adap.py:408-416) — here it is a
+            # real loss term whenever cfg.losses.weights carries a
+            # thing_mask_source weight, else recorded-but-unweighted.
+            if (thing_mask_src is not None
+                    and batch["source"].get("thing_mask") is not None):
+                losses["thing_mask_source"] = binary_mask_loss(
+                    thing_mask_src, batch["source"]["thing_mask"])
 
             # EMA consistency terms (instance_seg.py:162-173), only when
             # the teacher filters the instance head.
@@ -578,8 +588,16 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         # ---------------- EMA blend with traced per-module alpha
         # (state.ema_alpha): ema_alpha / 0=copy / 1=keep, parity with
         # update_weights (online_adap.py:279-289, adapt_codeps.py:294-299).
+        # The reference blends ONCE per frame, after the
+        # nof_adaptation_steps loop (adapt_codeps.py:268-299): with N>1
+        # the host passes batch["do_ema"]=False for all but the last
+        # step, which forces alpha to 1 (keep the teacher untouched).
+        do_ema = batch.get("do_ema")
+
         def blend(module_name, ema_tree, new_tree):
             alpha = state.ema_alpha[module_name]
+            if do_ema is not None:
+                alpha = jnp.where(do_ema, alpha, 1.0)
             return jax.tree.map(
                 lambda e, p: alpha * e + (1.0 - alpha) * p,
                 ema_tree, new_tree)

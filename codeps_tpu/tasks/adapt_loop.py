@@ -46,13 +46,17 @@ class AdaptationRunner:
 
     def __init__(self, cfg, modules, state: AdaptState, tx, replay_buffer,
                  frozen_modules: List[str], label_mode: str = "codeps",
-                 verbose: bool = True):
+                 verbose: bool = True, wandb_logger=None):
         self.cfg = cfg
         self.modules = modules
         self.state = state
         self.tx = tx
         self.buffer = replay_buffer
         self.verbose = verbose
+        self.label_mode = label_mode
+        # Streaming observability (adapt_codeps.py:311-337): scalars +
+        # depth-per-class series + image panels every log interval.
+        self.wandb_logger = wandb_logger
         self.offsets = tuple(cfg.dataset.offsets)
 
         dataset = replay_buffer.target_data
@@ -117,6 +121,16 @@ class AdaptationRunner:
                                                       **common)
         self.adapt_step_no_replay = make_adapt_step(has_replay=False,
                                                     **common)
+        # At nof_adaptation_steps>1 only the FIRST step evaluates the
+        # teacher (the reference evaluates once per frame, before the
+        # adaptation loop — adapt_codeps.py:166-191); later steps use
+        # eval-free variants so no teacher forward is recomputed and
+        # discarded. jit is lazy, so these compile only when used.
+        common_noeval = dict(common, eval_forward=None)
+        self.adapt_step_with_replay_noeval = make_adapt_step(
+            has_replay=True, **common_noeval)
+        self.adapt_step_no_replay_noeval = make_adapt_step(
+            has_replay=False, **common_noeval)
 
         self.disable_adaptation = cfg.adapt.mode == "off"
         self.adaptation_steps = (0 if self.disable_adaptation
@@ -136,7 +150,7 @@ class AdaptationRunner:
                       "flow_sparsity", "semantic_source",
                       "semantic_mixup_weighted", "semantic_cut_mixup",
                       "semantic_class_mixup", "semantic_conf_instance_mixup",
-                      "center_source", "offset_source"]
+                      "center_source", "offset_source", "thing_mask_source"]
         metric_names = ["d_abs_rel", "d_a1", "d_a2", "d_a3", "d_rmse",
                         "d_rmse_log", "d_sq_rel"]
         # class-wise depth meters (adapt_codeps.py:134-142)
@@ -221,6 +235,7 @@ class AdaptationRunner:
             "source": stack_domain(sample["source"], [
                 ("semantic", np.int32), ("semantic_weights", np.float32),
                 ("center", np.float32), ("offset", np.float32),
+                ("thing_mask", np.int32),
             ]),
         }
         if "target_replay" in sample:
@@ -411,6 +426,46 @@ class AdaptationRunner:
 
     # ------------------------------------------------------------------
 
+    def _log_wandb_interval(self, step: int, sample, results) -> None:
+        """Stream scalars + per-class depth series + image panels of the
+        latest teacher eval every log interval (adapt_codeps.py:311-337,
+        io_utils/logging.py:186-212)."""
+        logger = self.wandb_logger
+        if logger is None or not getattr(logger, "enabled", False):
+            return
+        remove_classes = tuple(self.cfg.dataset.remove_classes)
+        scalar_metrics = {
+            name: float(m.value) for name, m in
+            self.meters["metrics"].items() if np.ndim(m.value) == 0}
+        logger.log_scalars(
+            "adapt",
+            losses={name: float(m.value) for name, m in
+                    self.meters["losses"].items()},
+            metrics=scalar_metrics, step=step)
+        logger.log_depth_per_class(scalar_metrics, remove_classes,
+                                   self.label_mode, step=step)
+        if results:
+            from codeps_tpu.io.visualizations import (gen_visualizations,
+                                                      plot_confusion_matrix)
+            vis_sample = {
+                "frames": _frames_from_sample(sample["target"],
+                                              self.offsets)}
+            norm = self.cfg.dataset.normalization
+            mean = norm.rgb_mean if norm.active else (0.0, 0.0, 0.0)
+            std = norm.rgb_std if norm.active else (1.0, 1.0, 1.0)
+            panels = gen_visualizations(
+                vis_sample, {k: np.asarray(v) for k, v in results.items()
+                             if v is not None and k != "semantic_soft"},
+                mean, std, remove_classes=remove_classes,
+                label_mode=self.label_mode)
+            conf = self.meters["metrics"]["sem_conf"].sum
+            if np.asarray(conf).sum() > 0:
+                panels["conf_mat"] = plot_confusion_matrix(
+                    np.asarray(conf), remove_classes, self.label_mode)
+            logger.log_images("adapt/batch", panels, step=step)
+
+    # ------------------------------------------------------------------
+
     def run(self, max_frames: Optional[int] = None,
             log_interval: Optional[int] = None) -> Dict[str, Any]:
         """Stream the adaptation split; returns the final meters."""
@@ -464,26 +519,45 @@ class AdaptationRunner:
                 batch = self._adapt_batch(sample, mixup_samples)
                 eval_gt = self._target_gt(sample)
                 batch["eval_gt"] = eval_gt
-                step_fn = (self.adapt_step_with_replay
-                           if "target_replay" in batch
-                           else self.adapt_step_no_replay)
+                with_replay = "target_replay" in batch
                 features = None
                 results = stats = None
-                for _ in range(self.adaptation_steps):
-                    (self.state, metrics, features,
-                     step_results, step_stats) = step_fn(self.state, batch)
-                    if results is None:
-                        results, stats = step_results, step_stats
-                if results is not None:
-                    self._update_metrics(sample, eval_gt, results, stats)
-                for name, value in metrics.items():
+                accum: Optional[Dict[str, Any]] = None
+                nsteps = self.adaptation_steps
+                for step_i in range(nsteps):
+                    # EMA blends ONCE per frame, after the N-step loop
+                    # (adapt_codeps.py:294-299): a traced flag keeps the
+                    # teacher untouched on all but the last step.
+                    batch["do_ema"] = np.asarray(step_i == nsteps - 1)
+                    if step_i == 0:
+                        step_fn = (self.adapt_step_with_replay if with_replay
+                                   else self.adapt_step_no_replay)
+                        (self.state, metrics, features,
+                         results, stats) = step_fn(self.state, batch)
+                    else:
+                        step_fn = (self.adapt_step_with_replay_noeval
+                                   if with_replay
+                                   else self.adapt_step_no_replay_noeval)
+                        self.state, metrics, features = step_fn(self.state,
+                                                                batch)
+                    # accumulate per-step losses lazily on device; meters
+                    # take the mean over the N steps like the reference
+                    # (step_losses sum / adapation_steps,
+                    # adapt_codeps.py:266-303)
+                    if accum is None:
+                        accum = {k: v for k, v in metrics.items()
+                                 if k != "target_skipped"}
+                    else:
+                        accum = {k: accum[k] + metrics[k] for k in accum}
+                self._update_metrics(sample, eval_gt, results, stats)
+                for name, value in accum.items():
                     if name in self.meters["losses"]:
                         self.meters["losses"][name].update(
-                            np.asarray(value) / self.adaptation_steps)
+                            np.asarray(value) / nsteps)
                 # per-strategy mixup CE meters (reference logs
                 # semantic_cut_mixup etc., adapt_codeps.py:99)
-                if "mixup_losses" in metrics:
-                    per_sample = np.asarray(metrics["mixup_losses"])
+                if "mixup_losses" in accum:
+                    per_sample = np.asarray(accum["mixup_losses"])
                     if self.fused_mixup:
                         strategies_used = ["cut_mixup"] * len(per_sample)
                     else:
@@ -493,10 +567,9 @@ class AdaptationRunner:
                         name = f"semantic_{strategy}"
                         if name in self.meters["losses"]:
                             self.meters["losses"][name].update(
-                                per_sample[i] / self.adaptation_steps)
+                                per_sample[i] / nsteps)
                 self.meters["losses"]["loss"].update(
-                    np.asarray(metrics["loss_total"])
-                    / self.adaptation_steps)
+                    np.asarray(accum["loss_total"]) / nsteps)
 
                 # 4. replay buffer diversity add (previous frame's
                 # vector; this frame's copy starts now, asynchronously)
@@ -513,15 +586,19 @@ class AdaptationRunner:
 
             self.step_times.append(time.time() - start)
 
-            if self.verbose and (it + 1) % log_interval == 0:
-                from codeps_tpu.io.logging import log_iter
-                summary = {
-                    "miou": self.meters["metrics"]["sem_miou"].value,
-                    "pq": self.meters["metrics"]["p_pq"].value,
-                    "loss": self.meters["losses"]["loss"].value,
-                }
-                log_iter(it + 1, num_frames, summary, prefix="adapt",
-                         elapsed=float(np.mean(self.step_times[-log_interval:])))
+            if (it + 1) % log_interval == 0:
+                if self.verbose:
+                    from codeps_tpu.io.logging import log_iter
+                    summary = {
+                        "miou": self.meters["metrics"]["sem_miou"].value,
+                        "pq": self.meters["metrics"]["p_pq"].value,
+                        "loss": self.meters["losses"]["loss"].value,
+                    }
+                    log_iter(
+                        it + 1, num_frames, summary, prefix="adapt",
+                        elapsed=float(
+                            np.mean(self.step_times[-log_interval:])))
+                self._log_wandb_interval(it + 1, sample, results)
                 self.meters["metrics"]["sem_conf_interval"] = \
                     ConfusionMatrixMeter(self.num_classes)
 
