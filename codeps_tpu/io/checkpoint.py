@@ -60,7 +60,12 @@ def save_checkpoint(path: str, cfg, epoch: int, global_step: int,
         "training_meta": {"epoch": epoch, "global_step": global_step},
     }
     if opt_state is not None:
-        payload["state_dict"]["optimizer"] = _to_numpy(opt_state)
+        # Stored as the flat leaf list: optax containers are NamedTuples
+        # whose structure Orbax does not round-trip verbatim; the list is
+        # re-unflattened against a freshly built tx.init(params) treedef
+        # on restore (restore_opt_state).
+        payload["state_dict"]["optimizer"] = [
+            np.asarray(leaf) for leaf in jax.tree.leaves(opt_state)]
     if rng is not None:
         payload["state_dict"]["rng"] = np.asarray(rng)
     if meters is not None:
@@ -126,6 +131,52 @@ def resume_from_checkpoint(checkpoint: Dict[str, Any],
             new_stats[module] = _check_and_merge(
                 new_stats[module], ckpt_stats[module], module)
     return new_params, new_stats
+
+
+def restore_opt_state(checkpoint: Dict[str, Any], opt_state_template):
+    """Rebuild the optimizer state saved by save_checkpoint.
+
+    The reference restores the torch optimizer state on resume
+    (io_utils/io_utils.py:80, scripts/train_codeps.py:502-506); here the
+    flat leaf list is unflattened against ``opt_state_template`` (a fresh
+    ``tx.init(params)``), restoring Adam moments and schedule counts.
+    """
+    leaves = checkpoint["state_dict"].get("optimizer")
+    if leaves is None:
+        return None
+    if isinstance(leaves, dict):
+        # orbax restores a saved list as an int-keyed dict
+        leaves = [leaves[key] for key in sorted(leaves, key=int)]
+    template_leaves, treedef = jax.tree.flatten(opt_state_template)
+    assert len(leaves) == len(template_leaves), (
+        f"optimizer state leaf count mismatch: checkpoint has "
+        f"{len(leaves)}, template has {len(template_leaves)} — was the "
+        "optimizer config changed?")
+    leaves = [np.asarray(leaf).astype(ref.dtype).reshape(np.shape(ref))
+              for leaf, ref in zip(leaves, template_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
+def restore_rng(checkpoint: Dict[str, Any]):
+    """Restore the training-step PRNG key (reference restores torch +
+    numpy RNG states, io_utils/io_utils.py:81-84)."""
+    rng = checkpoint["state_dict"].get("rng")
+    if rng is None:
+        return None
+    return np.asarray(rng).astype(np.uint32)
+
+
+def restore_meters(checkpoint: Dict[str, Any], meters: Dict[str, Any]):
+    """Load meter states saved by save_checkpoint into live meters
+    (reference: meter state dicts in the checkpoint,
+    io_utils/io_utils.py:85-86, scripts/train_codeps.py:537-543)."""
+    saved = checkpoint["state_dict"].get("meters") or {}
+    for name, meter in meters.items():
+        if name in saved:
+            meter.load_state_dict({
+                key: np.asarray(value)
+                for key, value in saved[name].items()})
+    return meters
 
 
 def pretrained_from_checkpoints(checkpoint_specs: List[str],

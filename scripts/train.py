@@ -73,8 +73,9 @@ def main():
     from codeps_tpu.data import DataLoader
     from codeps_tpu.io import (init_logging, log_info, log_iter,
                                pretrained_from_checkpoints,
-                               resume_from_checkpoint, load_checkpoint,
-                               save_checkpoint)
+                               restore_meters, restore_opt_state,
+                               restore_rng, resume_from_checkpoint,
+                               load_checkpoint, save_checkpoint)
     from codeps_tpu.models import build_modules, init_params
     from codeps_tpu.parallel import make_mesh, replicate, shard_batch
     from codeps_tpu.tasks import (TrainState, build_optimizer,
@@ -115,7 +116,8 @@ def main():
                               cfg.dataset.offsets, shuffle=True,
                               seed=args.seed,
                               shard_index=jax.process_index(),
-                              num_shards=jax.process_count())
+                              num_shards=jax.process_count(),
+                              num_workers=cfg.train.nof_workers_per_gpu)
     # Validation runs unsharded (run_validation jits per batch shape), so
     # no device multiplier; drop_last would silently skip small val sets.
     val_loader = DataLoader(val_dataset,
@@ -143,15 +145,39 @@ def main():
                        step=jnp.zeros((), jnp.int32),
                        rng=jax.random.PRNGKey(args.seed))
 
+    # Train loss meters (reference: adapt/train meters checkpointed and
+    # restored, scripts/train_codeps.py:537-543). Updated at the log
+    # cadence — per-step host fetches would stall the async dispatch
+    # pipeline on a remote-relay TPU.
+    from codeps_tpu.evaluation import AverageMeter
+    train_meters = {}
+
     start_epoch = 0
+    global_step = 0
     if args.checkpoint:
         checkpoint = load_checkpoint(args.checkpoint)
         params, batch_stats = resume_from_checkpoint(
             checkpoint, state.params, state.batch_stats)
-        state = state.replace(params=params, batch_stats=batch_stats)
-        start_epoch = checkpoint["training_meta"]["epoch"] + 1
-        log_info("Resumed from %s at epoch %d", args.checkpoint,
-                 start_epoch)
+        # full training-state round-trip: optimizer moments + schedule
+        # counts, step RNG, global_step, meters (the reference restores
+        # optimizer/scheduler/RNG/meters/epoch —
+        # io_utils/io_utils.py:76-88, scripts/train_codeps.py:502-543)
+        opt_state = restore_opt_state(checkpoint, state.opt_state)
+        rng = restore_rng(checkpoint)
+        global_step = int(checkpoint["training_meta"].get(
+            "global_step", 0))
+        state = state.replace(
+            params=params, batch_stats=batch_stats,
+            opt_state=opt_state if opt_state is not None
+            else state.opt_state,
+            rng=jnp.asarray(rng) if rng is not None else state.rng,
+            step=jnp.asarray(global_step, jnp.int32))
+        saved_meters = (checkpoint["state_dict"].get("meters") or {})
+        train_meters = {name: AverageMeter(()) for name in saved_meters}
+        restore_meters(checkpoint, train_meters)
+        start_epoch = int(checkpoint["training_meta"]["epoch"]) + 1
+        log_info("Resumed from %s at epoch %d (global_step %d)",
+                 args.checkpoint, start_epoch, global_step)
 
     class_weights = [w for i, w in enumerate(cfg.semantics.class_weights)
                      if i not in cfg.dataset.remove_classes]
@@ -159,7 +185,6 @@ def main():
                                  num_classes=num_classes)
 
     state = replicate(state, mesh)
-    global_step = 0
     for epoch in range(start_epoch, cfg.train.nof_epochs):
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
@@ -170,6 +195,10 @@ def main():
             if global_step % cfg.logging.log_step_interval == 0:
                 host_metrics = {k: float(v) for k, v in metrics.items()
                                 if np.ndim(v) == 0}
+                for name, value in host_metrics.items():
+                    if name not in train_meters:
+                        train_meters[name] = AverageMeter(())
+                    train_meters[name].update(value)
                 log_iter(global_step,
                          cfg.train.nof_epochs * steps_per_epoch,
                          host_metrics, prefix=f"train e{epoch}")
@@ -183,7 +212,9 @@ def main():
         save_checkpoint(
             str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg, epoch,
             global_step, jax.device_get(state.params),
-            jax.device_get(state.batch_stats))
+            jax.device_get(state.batch_stats),
+            opt_state=jax.device_get(state.opt_state),
+            rng=jax.device_get(state.rng), meters=train_meters)
 
         if (len(val_dataset) > 0
                 and (epoch + 1) % cfg.logging.val_epoch_interval == 0):

@@ -151,3 +151,98 @@ def test_pth_conversion_full_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(new_params["backbone_po_depth"]["conv1"]["conv"]["kernel"]),
         np.asarray(params["backbone_po_depth"]["conv1"]["conv"]["kernel"]))
+
+
+def test_full_resume_bitmatch(tmp_path):
+    """VERDICT item: a resumed run must BE the same run. Train 2 steps,
+    checkpoint (params + batch_stats + optimizer + RNG + global_step +
+    meters), restore into freshly-initialized objects, train 2 more
+    steps, and bit-match against an uninterrupted 4-step run (reference
+    restores all of this on --resume: io_utils/io_utils.py:76-88,
+    scripts/train_codeps.py:502-543)."""
+    from codeps_tpu.config import get_cfg_defaults
+    from codeps_tpu.io import (load_checkpoint, restore_meters,
+                               restore_opt_state, restore_rng,
+                               resume_from_checkpoint, save_checkpoint)
+    from codeps_tpu.models import build_modules, init_params
+    from codeps_tpu.tasks import (TrainState, build_optimizer,
+                                  build_schedule, make_train_step)
+
+    cfg = get_cfg_defaults()
+    cfg.model.make_semantic = False
+    cfg.model.make_instance = False
+    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.model.pose_sflow_net.params.nof_layers = 18
+    height, width = 32, 64
+
+    modules = build_modules(cfg, num_classes=14)
+    tx = build_optimizer(cfg, build_schedule(cfg, steps_per_epoch=2))
+    step = make_train_step(modules, cfg, tx, class_weights=[1.0] * 14,
+                           donate=False)
+
+    rng = np.random.default_rng(3)
+    batches = []
+    for _ in range(4):
+        batches.append({
+            "frames": jnp.asarray(rng.uniform(
+                0, 1, (1, 3, height, width, 3)).astype(np.float32)),
+            "camera": jnp.asarray([[40.0, 40.0, width / 2, height / 2]],
+                                  jnp.float32),
+        })
+
+    def fresh_state(seed=0):
+        params, stats = init_params(jax.random.PRNGKey(seed), modules,
+                                    (height, width))
+        return TrainState(params=params, batch_stats=stats,
+                          opt_state=tx.init(params),
+                          step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.PRNGKey(7))
+
+    # uninterrupted 4-step run
+    state = fresh_state()
+    for batch in batches:
+        state, _ = step(state, batch)
+    ref_params = jax.device_get(state.params)
+    ref_opt = jax.device_get(state.opt_state)
+
+    # interrupted: 2 steps -> checkpoint
+    state = fresh_state()
+    for batch in batches[:2]:
+        state, _ = step(state, batch)
+    meters = {"loss": AverageMeter(())}
+    meters["loss"].update(1.25)
+    path = str(tmp_path / "ckpt_resume")
+    save_checkpoint(path, cfg, epoch=0, global_step=2,
+                    params=jax.device_get(state.params),
+                    batch_stats=jax.device_get(state.batch_stats),
+                    opt_state=jax.device_get(state.opt_state),
+                    rng=jax.device_get(state.rng), meters=meters)
+
+    # restore into a DIFFERENTLY-seeded fresh state (proves the restore)
+    checkpoint = load_checkpoint(path)
+    state2 = fresh_state(seed=99)
+    params, stats = resume_from_checkpoint(checkpoint, state2.params,
+                                           state2.batch_stats)
+    opt_state = restore_opt_state(checkpoint, state2.opt_state)
+    restored_rng = restore_rng(checkpoint)
+    assert opt_state is not None and restored_rng is not None
+    state2 = state2.replace(
+        params=params, batch_stats=stats, opt_state=opt_state,
+        rng=jnp.asarray(restored_rng),
+        step=jnp.asarray(int(checkpoint["training_meta"]["global_step"]),
+                         jnp.int32))
+    meters2 = restore_meters(checkpoint, {"loss": AverageMeter(())})
+    assert float(meters2["loss"].value) == 1.25
+
+    for batch in batches[2:]:
+        state2, _ = step(state2, batch)
+
+    flat_a = jax.tree_util.tree_leaves(ref_params)
+    flat_b = jax.tree_util.tree_leaves(jax.device_get(state2.params))
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Adam moments + schedule count identical too
+    for a, b in zip(jax.tree_util.tree_leaves(ref_opt),
+                    jax.tree_util.tree_leaves(
+                        jax.device_get(state2.opt_state))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
