@@ -91,8 +91,15 @@ def make_cityscapes_tree(root: Path, num_frames: int = 3, width: int = 96,
 def make_kitti360_tree(root: Path, sequence: str = "03",
                        num_frames: int = 6, width: int = 96,
                        height: int = 64, seed: int = 1,
-                       with_semantics: bool = True) -> Path:
-    """Create a minimal KITTI-360 tree for 'sequence' streaming mode."""
+                       with_semantics: bool = True,
+                       semantic_gaps=()) -> Path:
+    """Create a minimal KITTI-360 tree for 'sequence' streaming mode.
+
+    ``semantic_gaps``: frame numbers WITHOUT semantic/instance
+    annotations (KITTI-360 annotates sparsely; exercises the
+    sequence_reference_mode="semantic" skip arithmetic,
+    datasets/kitti_360.py:105-109 / replay_buffer.py:32-39).
+    """
     rng = np.random.default_rng(seed)
     root = Path(root)
     drive = f"2013_05_28_drive_00{sequence}_sync"
@@ -115,7 +122,8 @@ def make_kitti360_tree(root: Path, sequence: str = "03",
         pcl[:, 1] = rng.uniform(-0.4, 0.4, 256) * pcl[:, 2]      # y
         pcl[:, 3] = 1.0
         pcl.tofile(velo_dir / f"{number:010d}.bin")
-        if with_semantics and 0 < number <= num_frames:
+        if (with_semantics and 0 < number <= num_frames
+                and number not in semantic_gaps):
             semantic, instance = _blocky_labels(
                 rng, width, height,
                 raw_classes=[7, 8, 11, 21, 23], num_instances=2,

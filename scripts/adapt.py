@@ -151,7 +151,8 @@ def main():
 
     runner = AdaptationRunner(cfg, modules, state, tx, replay_buffer,
                               frozen_modules=frozen,
-                              label_mode=cfg.dataset.label_mode)
+                              label_mode=cfg.dataset.label_mode,
+                              wandb_logger=wandb_logger)
     meters = runner.run(max_frames=args.max_frames)
 
     times = np.asarray(runner.step_times[3:] or runner.step_times)
@@ -196,9 +197,13 @@ def main():
                                   sequences=list(cfg.dataset.sequences),
                                   label_mode=cfg.dataset.label_mode)
     else:
+        # sequence_reference_mode="semantic": the held-out val split
+        # contains only annotated frames, and the ReplayBuffer split
+        # index accounts for the skipped ones (misc/adapt_utils.py:69,
+        # datasets/replay_buffer.py:32-39).
         val_target = Kitti360("sequence", cfg.dataset, return_depth=True,
                               sequences=list(cfg.dataset.sequences),
-                              sequence_reference_mode="rgb",
+                              sequence_reference_mode="semantic",
                               label_mode=cfg.dataset.label_mode)
     val_buffer = ReplayBuffer(val_target, cfg.adapt, mode="val")
     if len(val_buffer) > 0:

@@ -92,6 +92,51 @@ def test_replay_buffer_split_ratio(tmp_path):
     assert len(train_buffer) + len(val_buffer) == total
 
 
+def test_val_split_semantic_reference_mode(tmp_path):
+    """The held-out val ReplayBuffer is built on a
+    sequence_reference_mode="semantic" dataset (misc/adapt_utils.py:69):
+    the split index is computed over the FULL rgb stream (len + skipped)
+    and then shifted down by the annotations skipped before it
+    (datasets/replay_buffer.py:32-39), so train (rgb-mode) and val
+    (semantic-mode) partition the stream consistently.
+
+    Synthetic tree: frames 1..10 streamed, frames 3 and 6 unannotated.
+    Reference arithmetic: index = int((8 + 2) * 0.7) = 7 over the rgb
+    stream -> train = rgb frames 1..7; val index = 7 - skipped[:7]
+    = 7 - 2 = 5 -> val = annotated frames [8, 9, 10].
+    """
+    cs_root = make_cityscapes_tree(tmp_path / "cs", num_frames=6)
+    k360_root = make_kitti360_tree(tmp_path / "k360", num_frames=10,
+                                   semantic_gaps=(3, 6))
+    cfg = gen_config(adapt=True, freeze=False)
+    cfg.dataset.name = "kitti_360"
+    cfg.dataset.path = str(k360_root)
+    cfg.dataset.feed_img_size = [32, 48]
+    cfg.adapt.source_dataset.name = "cityscapes"
+    cfg.adapt.source_dataset.path = str(cs_root)
+    cfg.freeze()
+
+    train_target = Kitti360("sequence", cfg.dataset, sequences=["03"],
+                            sequence_reference_mode="rgb",
+                            label_mode="codeps")
+    assert len(train_target) == 10
+    val_target = Kitti360("sequence", cfg.dataset, sequences=["03"],
+                          sequence_reference_mode="semantic",
+                          label_mode="codeps")
+    assert len(val_target) == 8
+    assert sum(val_target.semantic_seq_mode_image_skipped) == 2
+
+    train_buffer = ReplayBuffer(train_target, cfg.adapt, "train")
+    val_buffer = ReplayBuffer(val_target, cfg.adapt, "val")
+    assert len(train_buffer) == 7
+    assert len(val_buffer) == 3
+    train_frames = [f["rgb"].stem for f in
+                    train_buffer.target_data.frame_paths]
+    val_frames = [f["rgb"].stem for f in val_buffer.target_data.frame_paths]
+    assert train_frames == [f"{n:010d}" for n in range(1, 8)]
+    assert val_frames == [f"{n:010d}" for n in (8, 9, 10)]
+
+
 def test_source_sampling_exhausts_before_repeat(tmp_path):
     cfg = _adapt_cfg(tmp_path)
     buffer = _make_buffer(tmp_path, cfg)
