@@ -9,7 +9,9 @@ the device fed (double buffering happens naturally via dispatch-ahead).
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
+import random
 import threading
 from typing import Any, Dict, Iterator, List, Sequence
 
@@ -64,13 +66,45 @@ def collate_batch(samples: List[Dict[str, Any]],
     return batch
 
 
+# ---- multi-process workers (fork): the reference's
+# DataLoader(num_workers=N) + worker_init_fn equivalent
+# (misc/train_utils.py:117-190, datasets/replay_buffer.py:311-318).
+# RNGs are seeded PER BATCH TASK (not per worker), so augmentation draws
+# are deterministic regardless of which worker picks up which batch.
+# Workers never touch jax (dataset code is numpy/PIL/cv2 only), so the
+# fork-under-JAX-threads warning is benign here; glibc resets allocator
+# locks via pthread_atfork.
+_WORKER_STATE: Dict[str, Any] = {}
+
+
+def _mp_worker_init(dataset, offsets) -> None:
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["offsets"] = offsets
+
+
+def _mp_fetch_batch(task) -> Dict[str, np.ndarray]:
+    batch_indices, seed = task
+    random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+    dataset = _WORKER_STATE["dataset"]
+    samples = [dataset[int(i)] for i in batch_indices]
+    return collate_batch(samples, _WORKER_STATE["offsets"])
+
+
 class DataLoader:
-    """Minimal shuffling, prefetching loader over a Dataset."""
+    """Minimal shuffling, prefetching loader over a Dataset.
+
+    ``num_workers > 0`` assembles batches in forked worker processes
+    (PIL decode + LANCZOS + center/offset GT are the pretrain host
+    bottleneck and hold the GIL in numpy loops); ``num_workers == 0``
+    uses the in-process prefetch thread.
+    """
 
     def __init__(self, dataset, batch_size: int, offsets: Sequence[int],
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  num_threads: int = 4, prefetch: int = 2,
-                 shard_index: int = 0, num_shards: int = 1):
+                 shard_index: int = 0, num_shards: int = 1,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.offsets = list(offsets)
@@ -81,6 +115,7 @@ class DataLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -105,6 +140,9 @@ class DataLoader:
         n_batches = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+        if self.num_workers > 0:
+            yield from self._iter_processes(batches)
+            return
 
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -132,3 +170,16 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+    def _iter_processes(self, batches) -> Iterator[Dict[str, np.ndarray]]:
+        ctx = multiprocessing.get_context("fork")
+        pool = ctx.Pool(self.num_workers, initializer=_mp_worker_init,
+                        initargs=(self.dataset, self.offsets))
+        base = (self.seed * 100003 + self.epoch * 1009) % (2 ** 31)
+        tasks = [(batch, base + i) for i, batch in enumerate(batches)]
+        try:
+            # imap keeps the pool saturated and yields in order
+            yield from pool.imap(_mp_fetch_batch, tasks, chunksize=1)
+        finally:
+            pool.terminate()
+            pool.join()

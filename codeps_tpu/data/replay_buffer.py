@@ -299,6 +299,13 @@ class ReplayBuffer:
         if number_samples is not None:
             if self.maximize_diversity:
                 data = source_data.load_class_distribution()
+                if data is None:
+                    raise FileNotFoundError(
+                        "Rare-class source sampling needs the precomputed "
+                        "class distribution (reference: pickled next to the "
+                        "dataset, datasets/replay_buffer.py:320-385). Run "
+                        "scripts/compute_class_distribution.py for "
+                        f"{source_data.path_base}.")
                 number_pixels = data["num_pixels"]
                 class_images = data["class_images"]
                 images_numbers_pixels = data["images_num_pixels"]

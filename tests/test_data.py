@@ -222,3 +222,29 @@ def test_dataloader_iterates(tmp_path):
     batches = list(loader)
     assert len(batches) == 2
     assert batches[0]["frames"].shape == (2, 3, 32, 48, 3)
+
+
+def test_dataloader_multiprocess_matches_threaded(tmp_path):
+    """num_workers>0 (forked worker processes, the reference's
+    DataLoader(num_workers=N) equivalent) must produce the same batches
+    as the in-process path for a deterministic (augmentation-off)
+    dataset."""
+    root = make_cityscapes_tree(tmp_path / "cs_mp", num_frames=4)
+    cfg = get_cfg_defaults().dataset
+    cfg.name = "cityscapes"
+    cfg.path = str(root)
+    cfg.feed_img_size = [32, 48]
+    cfg.center_heatmap_sigma = 4
+    cfg.augmentation.active = False
+    from codeps_tpu.data import Cityscapes, DataLoader
+    ds = Cityscapes("train", cfg, label_mode="codeps")
+    threaded = list(DataLoader(ds, batch_size=2, offsets=[1], shuffle=True,
+                               seed=3))
+    multi = list(DataLoader(ds, batch_size=2, offsets=[1], shuffle=True,
+                            seed=3, num_workers=2))
+    assert len(threaded) == len(multi)
+    for bt, bm in zip(threaded, multi):
+        assert sorted(bt.keys()) == sorted(bm.keys())
+        for key in bt:
+            np.testing.assert_array_equal(np.asarray(bt[key]),
+                                          np.asarray(bm[key]))
