@@ -45,10 +45,9 @@ def _baseline_for_devices() -> float:
     return BASELINE_STEPS_PER_SEC * len(jax.devices()) / BASELINE_CHIPS
 
 
-def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
-                 height, width):
+def _bench_train(cfg, num_classes, num_steps, height, width):
     """Multi-task pretraining step throughput (train_cityscapes shape:
-    batch 6 at 512x1024 per chip)."""
+    batch 6 at 512x1024 per chip). Returns an images/sec record."""
     import jax
     import jax.numpy as jnp
 
@@ -116,16 +115,16 @@ def _bench_train(cfg, modules, params, stats, num_classes, num_steps,
     elapsed = max(t_long - t_short, 1e-6)
 
     images_per_sec = num_steps * batch_size / elapsed
-    print(json.dumps({
+    return {
         "metric": "pretrain_images_per_sec",
         "value": round(images_per_sec, 3),
         "unit": "img/s",
         "vs_baseline": round((num_steps / elapsed)
                              / _baseline_for_devices(), 3),
-    }))
+    }
 
 
-def main():
+def _run_mode(mode):
     import jax
     import jax.numpy as jnp
 
@@ -152,6 +151,9 @@ def main():
     cfg.semantics.class_weights = [1.0] * num_classes
     cfg.freeze()
 
+    if mode == "train":
+        return _bench_train(cfg, num_classes, num_steps, hs, ws)
+
     modules = build_modules(cfg, num_classes, dtype=jnp.bfloat16)
     params, stats = init_params(jax.random.PRNGKey(0), modules, (ht, wt))
 
@@ -163,13 +165,6 @@ def main():
                              frozen_modules=frozen,
                              ema_alpha=cfg.adapt.ema.alpha)
 
-    mode = os.environ.get("BENCH_MODE", "step")
-    if mode not in ("step", "loop", "train"):
-        raise SystemExit(f"BENCH_MODE must be step|loop|train, got {mode!r}")
-    if mode == "train":
-        _bench_train(cfg, modules, params, stats, num_classes, num_steps,
-                     hs, ws)
-        return
     eval_forward = None
     if mode == "loop":
         # Loop mode mirrors AdaptationRunner: teacher metrics-eval folded
@@ -308,12 +303,48 @@ def main():
         metric_name = "adapt_steps_per_sec"
 
     steps_per_sec = num_steps / elapsed
-    print(json.dumps({
+    return {
         "metric": metric_name,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / _baseline_for_devices(), 3),
-    }))
+    }
+
+
+def main():
+    """Print ONE json line.
+
+    BENCH_MODE=step|loop|train runs a single mode; the default (all)
+    runs the adapt step (primary metric) and folds loop + train numbers
+    into an "extra" field so every round's artifact carries all three
+    (rounds stay comparable). A failing extra mode records its error
+    without jeopardizing the primary metric.
+    """
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode not in ("step", "loop", "train", "all"):
+        raise SystemExit(
+            f"BENCH_MODE must be step|loop|train|all, got {mode!r}")
+    if mode != "all":
+        print(json.dumps(_run_mode(mode)))
+        return
+
+    start = time.perf_counter()
+    budget = float(os.environ.get("BENCH_BUDGET", "2700"))
+    record = _run_mode("step")
+    extra = {}
+    for extra_mode in ("loop", "train"):
+        if time.perf_counter() - start > budget:
+            extra[extra_mode] = {"skipped": "BENCH_BUDGET exceeded"}
+            continue
+        try:
+            sub = _run_mode(extra_mode)
+            extra[sub["metric"]] = {"value": sub["value"],
+                                    "unit": sub["unit"],
+                                    "vs_baseline": sub["vs_baseline"]}
+        except Exception as exc:  # noqa: BLE001 - keep the primary metric
+            extra[extra_mode] = {"error": f"{type(exc).__name__}: {exc}"}
+    record["extra"] = extra
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
