@@ -577,9 +577,27 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             skip = jnp.asarray(False)
 
         teacher = (state.ema_params, state.ema_batch_stats)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, aux), grads = grad_fn(state.params, state.batch_stats,
-                                      sub_loss, batch, skip, teacher)
+        # Differentiate ONLY wrt live modules: frozen params enter the
+        # loss as constants, so XLA never builds the backward through
+        # them (the reference's requires_grad=False does the same —
+        # misc/train_utils.py:229-235; with the published configs this
+        # removes the entire ResNet-101 encoder backward). Frozen grads
+        # are materialized as zeros purely to satisfy the optimizer tree
+        # (set_to_zero ignores them; XLA folds the zeros away).
+        trainable = {k: v for k, v in state.params.items()
+                     if k not in frozen_modules}
+        frozen = {k: v for k, v in state.params.items()
+                  if k in frozen_modules}
+
+        def loss_trainable(tp):
+            return loss_fn({**tp, **frozen}, state.batch_stats, sub_loss,
+                           batch, skip, teacher)
+
+        grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
+        (total, aux), grads_live = grad_fn(trainable)
+        grads = dict(grads_live)
+        for name, tree in frozen.items():
+            grads[name] = jax.tree.map(jnp.zeros_like, tree)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)

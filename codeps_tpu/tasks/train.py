@@ -171,7 +171,8 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
 
 def make_train_step(modules: CodepsModules, cfg, tx, class_weights,
                     sem_ignore_classes=None, num_classes: int | None = None,
-                    eval_ignore_classes=(), donate: bool = True):
+                    eval_ignore_classes=(), donate: bool = True,
+                    frozen_modules=()):
     """Build the jitted pretraining step.
 
     Returns fn(state, batch) -> (new_state, metrics) where metrics contains
@@ -184,11 +185,27 @@ def make_train_step(modules: CodepsModules, cfg, tx, class_weights,
     use_gt_scale = cfg.eval.depth.use_gt_scale
     depth_ranges = tuple(cfg.eval.depth.depth_ranges)
 
+    frozen_modules = tuple(frozen_modules)
+
     def train_step(state: TrainState, batch):
         rng, sub = jax.random.split(state.rng)
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (total, (losses, preds, new_stats)), grads = grad_fn(
-            state.params, state.batch_stats, sub, batch)
+        # Frozen modules enter the loss as constants: no backward is
+        # built through them (requires_grad=False parity,
+        # misc/train_utils.py:229-235); zeros only satisfy the optimizer
+        # tree and fold away under XLA.
+        trainable = {k: v for k, v in state.params.items()
+                     if k not in frozen_modules}
+        frozen = {k: v for k, v in state.params.items()
+                  if k in frozen_modules}
+
+        def loss_trainable(tp):
+            return loss_fn({**tp, **frozen}, state.batch_stats, sub, batch)
+
+        grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
+        (total, (losses, preds, new_stats)), grads_live = grad_fn(trainable)
+        grads = dict(grads_live)
+        for name, tree in frozen.items():
+            grads[name] = jax.tree.map(jnp.zeros_like, tree)
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
