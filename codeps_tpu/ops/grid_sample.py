@@ -94,12 +94,7 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         ix0 = x0.astype(jnp.int32)
         iy0 = y0.astype(jnp.int32)
 
-        right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
-        down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
-        down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
-        packed = jnp.concatenate([img, right, down, down_right], axis=-1)
-
-        taps = _gather_2d(packed, iy0, ix0)  # (B, Ho, Wo, 4C)
+        taps = _gather_2d(_pack_taps(img), iy0, ix0)  # (B, Ho, Wo, 4C)
         c = img.shape[-1]
         v00, v01, v10, v11 = (taps[..., :c], taps[..., c:2 * c],
                               taps[..., 2 * c:3 * c], taps[..., 3 * c:])
@@ -116,3 +111,11 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         return _gather_2d(img, iy, ix)
 
     raise ValueError(f"Unsupported mode: {mode}")
+
+
+def _pack_taps(img: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W, 4C) edge-replicated 2x2 tap pack."""
+    right = jnp.concatenate([img[:, :, 1:], img[:, :, -1:]], axis=2)
+    down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    return jnp.concatenate([img, right, down, down_right], axis=-1)

@@ -179,12 +179,18 @@ def make_gt_panoptic_step(modules: CodepsModules, thing_list):
 
 # --------------------------------------------------------- student update
 
-def update_ring_buffer(dist_buffer, dist_count, dist_head, dist):
-    """Rolling 300-length distance buffer + skip decision
-    (algos/depth.py:537-558) as traced state."""
+def skip_decision(dist_buffer, dist_count, dist):
+    """Non-moving-frame check against the rolling 300-length distance
+    buffer (algos/depth.py:543-548): skip when the buffer is full and
+    its average exceeds 10x the current camera translation."""
     full = dist_count >= DIST_BUFFER_LEN
     avg = jnp.sum(dist_buffer) / DIST_BUFFER_LEN
-    skip = full & (avg > 10.0 * dist)
+    return full & (avg > 10.0 * dist)
+
+
+def push_ring_buffer(dist_buffer, dist_count, dist_head, dist, skip):
+    """Append ``dist`` unless the frame was skipped
+    (algos/depth.py:549-556)."""
 
     def push(args):
         buf, count, head = args
@@ -193,8 +199,16 @@ def update_ring_buffer(dist_buffer, dist_count, dist_head, dist):
         count = jnp.minimum(count + 1, DIST_BUFFER_LEN)
         return buf, count, head
 
-    dist_buffer, dist_count, dist_head = jax.lax.cond(
-        skip, lambda args: args, push, (dist_buffer, dist_count, dist_head))
+    return jax.lax.cond(skip, lambda args: args, push,
+                        (dist_buffer, dist_count, dist_head))
+
+
+def update_ring_buffer(dist_buffer, dist_count, dist_head, dist):
+    """Skip decision + conditional append in one call (test/compat
+    wrapper over skip_decision + push_ring_buffer)."""
+    skip = skip_decision(dist_buffer, dist_count, dist)
+    dist_buffer, dist_count, dist_head = push_ring_buffer(
+        dist_buffer, dist_count, dist_head, dist, skip)
     return dist_buffer, dist_count, dist_head, skip
 
 
@@ -359,7 +373,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         domain["frames"] = maybe_normalize(domain["frames"], mean, std)
         return domain
 
-    def loss_fn(params, batch_stats, rng, batch, target_skip, teacher):
+    def loss_fn(params, batch_stats, rng, batch, dist_state, teacher):
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
         # uint8-transfer path: normalize on device (no-op for floats)
@@ -391,7 +405,16 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                               batch["target"]["frames"],
                               batch["target"]["camera"], sub)
             aux["transformations"] = transforms_t
-            # non-moving frame: zero image count -> excluded from average
+            # Non-moving-frame check on THIS forward's transformations
+            # (algos/depth.py:538-540 — the reference reuses the adapt
+            # forward's poses; no extra pose pass): zero image count
+            # drops the target from the weighted average when skipped.
+            dist = jax.lax.stop_gradient(
+                (jnp.linalg.norm(transforms_t[0][0, :3, 3])
+                 + jnp.linalg.norm(transforms_t[1][0, :3, 3])) / 2.0)
+            target_skip = skip_decision(dist_state[0], dist_state[1], dist)
+            aux["dist"] = dist
+            aux["target_skipped"] = target_skip
             t_count = jnp.where(target_skip, 0.0,
                                 batch["target"]["frames"].shape[0] * 1.0)
             domain_stats.append((recon_t, smth_t, flow_t, t_count))
@@ -533,29 +556,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         aux["mixup_losses"] = aux_mixup
         return total, aux
 
-    def _pose_distance(params, batch_stats, batch, rng):
-        """Camera translation magnitude of the target triplet (student),
-        for the non-moving-frame check."""
-        frames = maybe_normalize(batch["target"]["frames"], mean, std)
-        images = [frames[:, 0], frames[:, 1], frames[:, 2]]
-        pair_bwd = jnp.concatenate([images[1], images[0]], axis=-1)
-        pair_fwd = jnp.concatenate([images[0], images[2]], axis=-1)
-        pairs = jnp.concatenate([pair_bwd, pair_fwd], axis=0)
-        pose_feats, _ = apply_encoder(
-            modules.backbone_pose_sflow, params["backbone_pose_sflow"],
-            batch_stats["backbone_pose_sflow"], pairs, train=False)
-        b = images[0].shape[0]
-        t_bwd = modules.pose_head.apply({"params": params["pose_head"]},
-                                        [f[:b] for f in pose_feats],
-                                        invert_pose=True)
-        t_fwd = modules.pose_head.apply({"params": params["pose_head"]},
-                                        [f[b:] for f in pose_feats],
-                                        invert_pose=False)
-        return (jnp.linalg.norm(t_bwd[0, :3, 3])
-                + jnp.linalg.norm(t_fwd[0, :3, 3])) / 2.0
-
     def adapt_step(state: AdaptState, batch):
-        rng, sub_dist, sub_loss = jax.random.split(state.rng, 3)
+        rng, sub_loss = jax.random.split(state.rng)
 
         eval_out = None
         if eval_forward is not None:
@@ -565,16 +567,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             eval_batch.update(batch.get("eval_gt", {}))
             eval_out = eval_forward(state.ema_params,
                                     state.ema_batch_stats, eval_batch)
-
-        if make_depth:
-            dist = _pose_distance(state.params, state.batch_stats, batch,
-                                  sub_dist)
-            dist_buffer, dist_count, dist_head, skip = update_ring_buffer(
-                state.dist_buffer, state.dist_count, state.dist_head, dist)
-        else:
-            dist_buffer, dist_count, dist_head = (
-                state.dist_buffer, state.dist_count, state.dist_head)
-            skip = jnp.asarray(False)
 
         teacher = (state.ema_params, state.ema_batch_stats)
         # Differentiate ONLY wrt live modules: frozen params enter the
@@ -591,10 +583,21 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
         def loss_trainable(tp):
             return loss_fn({**tp, **frozen}, state.batch_stats, sub_loss,
-                           batch, skip, teacher)
+                           batch, (state.dist_buffer, state.dist_count),
+                           teacher)
 
         grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
         (total, aux), grads_live = grad_fn(trainable)
+
+        if make_depth:
+            skip = aux["target_skipped"]
+            dist_buffer, dist_count, dist_head = push_ring_buffer(
+                state.dist_buffer, state.dist_count, state.dist_head,
+                aux["dist"], skip)
+        else:
+            dist_buffer, dist_count, dist_head = (
+                state.dist_buffer, state.dist_count, state.dist_head)
+            skip = jnp.asarray(False)
         grads = dict(grads_live)
         for name, tree in frozen.items():
             grads[name] = jax.tree.map(jnp.zeros_like, tree)
