@@ -82,6 +82,8 @@ def reconstruction_loss(
     num_scales: int = 5,
     alpha: float = 0.85,
     identity_noise_scale: float = 1e-5,
+    dtype=jnp.float32,
+    per_sample: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale photometric loss with Monodepth2 auto-masking.
 
@@ -96,30 +98,45 @@ def reconstruction_loss(
       depth_map: (B, H, W, 1) depth of frame t.
       poses: [T(t->t-1), T(t->t+1)], each (B, 4, 4).
       object_motion_maps: optional pair of (B, H, W, 3) scene-flow maps.
+      dtype: element type for the IMAGE-SPACE math (pyramids, warp
+        payload, SSIM/L1, automask). Geometry (depth backprojection,
+        poses, sampling grids) and the final per-scale means stay
+        float32. bfloat16 here matches the conv compute policy
+        (cfg.tpu.compute_dtype) — 8-bit image content loses nothing
+        metric-relevant and the elementwise chains halve their HBM
+        traffic; the f32 default preserves bit parity with the torch
+        formulas for the golden tests.
+
+      per_sample: return a (B,) float32 vector of per-sample losses
+        (batched multi-domain adapt path; the batch mean of the vector
+        equals the scalar form up to summation order).
 
     Returns:
-      scalar loss.
+      scalar float32 loss, or (B,) when ``per_sample``.
     """
     _, height, width, _ = images[0].shape
-    target = images[0]
+    target = images[0].astype(dtype)
 
     # NOTE (measured on v5e): fusing all 10 warps (5 scales x 2 frames)
     # into one flattened gather (ops/grid_sample.grid_sample_many)
     # REGRESSED the adapt step 3.14 -> 2.38 steps/s — the per-warp
     # gathers overlap with conv compute in XLA's schedule, while one
     # mega-gather serializes the critical path. Kept per-warp.
-    total = jnp.zeros((), dtype=jnp.float32)
+    batch = images[0].shape[0]
+    total = jnp.zeros((batch,) if per_sample else (), dtype=jnp.float32)
     for s in range(num_scales):
         scaled_h, scaled_w = height // (2 ** s), width // (2 ** s)
         intr_s = scale_intrinsics_to_size(intrinsics, (height, width),
                                           (scaled_h, scaled_w))
         target_s = resize_bilinear(target, (scaled_h, scaled_w))
+        # depth pyramid stays f32: it feeds the sampling grids
         depth_s = resize_bilinear(depth_map, (scaled_h, scaled_w))
 
         recon_losses = []
         frames_s = []
         for i, frame in enumerate(images[1:]):
-            frame_s = resize_bilinear(frame, (scaled_h, scaled_w))
+            frame_s = resize_bilinear(frame.astype(dtype),
+                                      (scaled_h, scaled_w))
             frames_s.append(frame_s)
             motion_s = None
             if object_motion_maps is not None:
@@ -127,20 +144,27 @@ def reconstruction_loss(
                                            (scaled_h, scaled_w))
             pred = warp_image(intr_s, frame_s, depth_s, poses[i],
                               object_motion=motion_s)
-            recon_losses.append(photometric_error(pred, target_s, alpha))
+            # the bilinear tap combine runs at grid (f32) precision;
+            # bring the prediction back to the image dtype for SSIM/L1
+            recon_losses.append(photometric_error(pred.astype(dtype),
+                                                  target_s, alpha))
 
         identity_losses = [photometric_error(frame_s, target_s, alpha)
                            for frame_s in frames_s]
         identity = jnp.concatenate(identity_losses, axis=-1)
         if identity_noise_scale:
             rng, sub = jax.random.split(rng)
-            identity = identity + jax.random.normal(
-                sub, identity.shape, identity.dtype) * identity_noise_scale
+            identity = identity + (jax.random.normal(
+                sub, identity.shape, jnp.float32)
+                * identity_noise_scale).astype(identity.dtype)
 
         combined = jnp.concatenate(
             [jnp.concatenate(recon_losses, axis=-1), identity], axis=-1)
-        per_pixel = jnp.min(combined, axis=-1)
-        total = total + jnp.mean(per_pixel) / (2 ** s)
+        per_pixel = jnp.min(combined, axis=-1).astype(jnp.float32)
+        if per_sample:
+            total = total + jnp.mean(per_pixel, axis=(1, 2)) / (2 ** s)
+        else:
+            total = total + jnp.mean(per_pixel) / (2 ** s)
 
     return total / num_scales
 

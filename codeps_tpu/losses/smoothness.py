@@ -15,12 +15,16 @@ import jax.numpy as jnp
 
 
 def edge_aware_smoothness_loss(target_image: jnp.ndarray,
-                               disparity: jnp.ndarray) -> jnp.ndarray:
+                               disparity: jnp.ndarray,
+                               per_sample: bool = False) -> jnp.ndarray:
     """Mean-normalized disparity gradients weighted by exp(-|dI|). NHWC.
 
     Args:
       target_image: (B, H, W, 3) RGB.
       disparity: (B, H, W, 1).
+      per_sample: return a (B,) vector of per-sample losses instead of
+        the batch mean (used by the batched multi-domain adapt path —
+        equal pixel counts make the batch mean the mean of this vector).
     """
     mean_disp = jnp.mean(disparity, axis=(1, 2), keepdims=True)
     norm_disp = disparity / (mean_disp + 1e-7)
@@ -37,6 +41,9 @@ def edge_aware_smoothness_loss(target_image: jnp.ndarray,
 
     loss_x = grad_disp_x * jnp.exp(-grad_img_x)
     loss_y = grad_disp_y * jnp.exp(-grad_img_y)
+    if per_sample:
+        return (jnp.mean(loss_x, axis=(1, 2, 3))
+                + jnp.mean(loss_y, axis=(1, 2, 3)))
     return jnp.mean(loss_x) + jnp.mean(loss_y)
 
 

@@ -255,6 +255,11 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     """
     weights = {k: v for k, v in cfg.losses.weights.items()}
     num_scales = cfg.depth.num_recon_scales
+    # image-space loss math follows the conv compute policy (see
+    # reconstruction_loss dtype docs); geometry stays f32
+    photometric_dtype = (jnp.bfloat16
+                         if cfg.tpu.compute_dtype == "bfloat16"
+                         else jnp.float32)
     top_k = cfg.semantics.top_k
     make_depth = modules.depth_head is not None
     make_flow = modules.flow_head is not None
@@ -338,9 +343,11 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         sem_mix = jnp.where(mask, sem_w, semantic_src)
         return jax.lax.stop_gradient(rgb_mix), sem_mix
 
-    def _depth_domain(params, batch_stats, frames, camera, rng):
+    def _depth_domain(params, batch_stats, frames, camera, rng,
+                      per_sample: bool = False):
         """Depth losses for one domain; returns (recon, smth, flow_losses,
-        transformations, last_feats)."""
+        transformations, last_feats). ``per_sample`` keeps the batch axis
+        of recon/smth (merged-domain path)."""
         images = [frames[:, 0], frames[:, 1], frames[:, 2]]
         if make_flow:
             per_frame, _ = encode_frames(modules, params, batch_stats,
@@ -357,8 +364,11 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         recon = reconstruction_loss(rng, camera, images, fwd["depth"],
                                     fwd["transformations"],
                                     fwd["object_motion_maps"],
-                                    num_scales=num_scales)
-        smth = edge_aware_smoothness_loss(images[0], fwd["disparity"])
+                                    num_scales=num_scales,
+                                    dtype=photometric_dtype,
+                                    per_sample=per_sample)
+        smth = edge_aware_smoothness_loss(images[0], fwd["disparity"],
+                                          per_sample=per_sample)
         flow_losses = None
         if make_flow:
             flow_losses = (flow_smoothness_loss(fwd["object_motion_maps"]),
@@ -399,11 +409,39 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             domain_stats.append((recon_s, smth_s, flow_s,
                                  batch["source"]["frames"].shape[0] * 1.0))
 
-            rng, sub = jax.random.split(rng)
-            recon_t, smth_t, flow_t, transforms_t, target_feats = \
-                _depth_domain(params, batch_stats,
-                              batch["target"]["frames"],
-                              batch["target"]["camera"], sub)
+            merge_tr = (has_replay and not make_flow
+                        and batch["target"]["frames"].shape[2:]
+                        == batch["target_replay"]["frames"].shape[2:])
+            if merge_tr:
+                # target + target_replay share the stream resolution:
+                # ONE batched pass through encoder/pose/depth/warps with
+                # per-sample loss reduction, then split by domain — the
+                # per-domain means are unchanged (equal pixel counts),
+                # but the ResNets and the photometric pyramid run at
+                # batch 1+Nr instead of twice.
+                nt = batch["target"]["frames"].shape[0]
+                frames_tr = jnp.concatenate(
+                    [batch["target"]["frames"],
+                     batch["target_replay"]["frames"]], axis=0)
+                camera_tr = jnp.concatenate(
+                    [batch["target"]["camera"],
+                     batch["target_replay"]["camera"]], axis=0)
+                rng, sub = jax.random.split(rng)
+                recon_vec, smth_vec, flow_t, transforms_tr, feats_tr = \
+                    _depth_domain(params, batch_stats, frames_tr,
+                                  camera_tr, sub, per_sample=True)
+                recon_t = jnp.mean(recon_vec[:nt])
+                smth_t = jnp.mean(smth_vec[:nt])
+                recon_r = jnp.mean(recon_vec[nt:])
+                smth_r = jnp.mean(smth_vec[nt:])
+                transforms_t = [t[:nt] for t in transforms_tr]
+                target_feats = [f[:nt] for f in feats_tr]
+            else:
+                rng, sub = jax.random.split(rng)
+                recon_t, smth_t, flow_t, transforms_t, target_feats = \
+                    _depth_domain(params, batch_stats,
+                                  batch["target"]["frames"],
+                                  batch["target"]["camera"], sub)
             aux["transformations"] = transforms_t
             # Non-moving-frame check on THIS forward's transformations
             # (algos/depth.py:538-540 — the reference reuses the adapt
@@ -420,10 +458,14 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             domain_stats.append((recon_t, smth_t, flow_t, t_count))
 
             if has_replay:
-                rng, sub = jax.random.split(rng)
-                recon_r, smth_r, flow_r, _, _ = _depth_domain(
-                    params, batch_stats, batch["target_replay"]["frames"],
-                    batch["target_replay"]["camera"], sub)
+                if merge_tr:
+                    flow_r = None
+                else:
+                    rng, sub = jax.random.split(rng)
+                    recon_r, smth_r, flow_r, _, _ = _depth_domain(
+                        params, batch_stats,
+                        batch["target_replay"]["frames"],
+                        batch["target_replay"]["camera"], sub)
                 domain_stats.append(
                     (recon_r, smth_r, flow_r,
                      batch["target_replay"]["frames"].shape[0] * 1.0))
@@ -451,20 +493,12 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             batch["source"]["frames"][:, 0], train=encoder_train)
 
         if make_semantic:
-            sem_src = modules.semantic_head.apply(
-                {"params": params["semantic_head"]}, source_feats)
-            losses["semantic_source"] = semantic_loss(
-                sem_src, batch["source"]["semantic"],
-                batch["source"]["semantic_weights"],
-                class_weights=class_weights,
-                ignore_labels=sem_ignore_classes,
-                top_k_percent_pixels=top_k)
-
             # mixup CE with unit pixel weights (semantic_seg.py:219-225).
             # The per-sample loss weight arrives as a traced (Nm,) array
             # (selected on host from cfg.losses.weights per strategy) so
             # the compiled step is independent of the per-frame strategy
             # draw order.
+            mix_feats = None
             if num_mixup > 0:
                 if fused_cut_mixup:
                     mix_rgb, mix_semantic = _compose_cut_mixup(
@@ -476,8 +510,36 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     modules.backbone_po_depth, params["backbone_po_depth"],
                     batch_stats["backbone_po_depth"],
                     mix_rgb, train=encoder_train)
-                sem_mix = modules.semantic_head.apply(
+
+            num_source = batch["source"]["frames"].shape[0]
+            if (mix_feats is not None
+                    and mix_feats[0].shape[1:] == source_feats[0].shape[1:]):
+                # Source and mixup share the source resolution: ONE
+                # semantic-head pass at batch Ns+Nm (the head has no
+                # norm layers, so batching is bit-identical; halves the
+                # per-application layout/copy overhead of the heaviest
+                # module in the step).
+                feats_cat = [jnp.concatenate([fs, fm], axis=0)
+                             for fs, fm in zip(source_feats, mix_feats)]
+                sem_cat = modules.semantic_head.apply(
+                    {"params": params["semantic_head"]}, feats_cat)
+                sem_src = sem_cat[:num_source]
+                sem_mix = sem_cat[num_source:]
+            else:
+                sem_src = modules.semantic_head.apply(
+                    {"params": params["semantic_head"]}, source_feats)
+                sem_mix = (modules.semantic_head.apply(
                     {"params": params["semantic_head"]}, mix_feats)
+                    if mix_feats is not None else None)
+
+            losses["semantic_source"] = semantic_loss(
+                sem_src, batch["source"]["semantic"],
+                batch["source"]["semantic_weights"],
+                class_weights=class_weights,
+                ignore_labels=sem_ignore_classes,
+                top_k_percent_pixels=top_k)
+
+            if sem_mix is not None:
                 # per-sample top-k pools (semantic_seg.py:219-225),
                 # batched into one traced loss
                 from codeps_tpu.losses import semantic_loss_per_sample

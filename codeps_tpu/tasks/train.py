@@ -102,7 +102,10 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
             losses["depth_recon"] = reconstruction_loss(
                 sub, batch["camera"], images, fwd["depth"],
                 fwd["transformations"], fwd["object_motion_maps"],
-                num_scales=num_scales)
+                num_scales=num_scales,
+                dtype=(jnp.bfloat16
+                       if cfg.tpu.compute_dtype == "bfloat16"
+                       else jnp.float32))
             losses["depth_smth"] = edge_aware_smoothness_loss(
                 images[0], fwd["disparity"])
             if make_flow:
