@@ -331,6 +331,14 @@ def main():
     start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET", "2700"))
     record = _run_mode("step")
+    import jax
+    record["devices"] = len(jax.devices())
+    record["baseline_note"] = (
+        "north-star 25 steps/s on v5e-8; vs_baseline is measured against "
+        "25*n_devices/8 (adaptation is data-parallel: the online target "
+        "stays replicated, source/replay/mixup sub-batches shard over the "
+        "mesh — dryrun_multichip + "
+        "test_adapt_step.py::test_sharded_adapt_step_over_mesh)")
     extra = {}
     for extra_mode in ("loop", "train"):
         if time.perf_counter() - start > budget:

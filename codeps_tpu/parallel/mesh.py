@@ -33,3 +33,19 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     sharding = NamedSharding(mesh, PartitionSpec())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_batch_multihost(batch, mesh: Mesh, data_axis: str = "data"):
+    """Assemble a GLOBAL batch from per-host local shards.
+
+    Multi-process SPMD (the reference's multi-node DDP analogue): every
+    process loads its own slice of the global batch (DataLoader
+    shard_index/num_shards mirrors DistributedSampler,
+    misc/train_utils.py:142) and contributes it to a single global
+    jax.Array via make_array_from_process_local_data. On a single
+    process this equals shard_batch.
+    """
+    sharding = NamedSharding(mesh, PartitionSpec(data_axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)

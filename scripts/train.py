@@ -77,7 +77,8 @@ def main():
                                restore_rng, resume_from_checkpoint,
                                load_checkpoint, save_checkpoint)
     from codeps_tpu.models import build_modules, init_params
-    from codeps_tpu.parallel import make_mesh, replicate, shard_batch
+    from codeps_tpu.parallel import (make_mesh, replicate, shard_batch,
+                                     shard_batch_multihost)
     from codeps_tpu.tasks import (TrainState, build_optimizer,
                                   build_schedule, make_train_step)
 
@@ -189,7 +190,12 @@ def main():
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
         for batch_np in train_loader:
-            batch = shard_batch(batch_np, mesh)
+            # multi-process SPMD assembles the global batch from each
+            # host's local shard; single-host takes the device_put path
+            if jax.process_count() > 1:
+                batch = shard_batch_multihost(batch_np, mesh)
+            else:
+                batch = shard_batch(batch_np, mesh)
             state, metrics = train_step(state, batch)
             global_step += 1
             if global_step % cfg.logging.log_step_interval == 0:

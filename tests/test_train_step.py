@@ -157,3 +157,20 @@ def test_sharded_train_step_over_mesh():
     np.testing.assert_allclose(float(metrics["loss_total"]),
                                float(metrics_single["loss_total"]),
                                rtol=1e-5)
+
+
+def test_shard_batch_multihost_single_process():
+    """Per-host global-batch assembly (multi-process SPMD path in
+    scripts/train.py): on a single process it must produce exactly the
+    device_put sharding and values."""
+    from codeps_tpu.parallel import shard_batch_multihost
+
+    mesh = make_mesh()
+    batch = {"x": np.arange(8 * 4, dtype=np.float32).reshape(8, 4),
+             "y": np.ones((8, 2, 3), np.int32)}
+    local = shard_batch(batch, mesh)
+    global_arr = shard_batch_multihost(batch, mesh)
+    for key in batch:
+        np.testing.assert_array_equal(np.asarray(local[key]),
+                                      np.asarray(global_arr[key]))
+        assert global_arr[key].sharding.spec == local[key].sharding.spec
