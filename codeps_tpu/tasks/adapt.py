@@ -76,12 +76,14 @@ def build_eval_forward(modules: CodepsModules, cfg, thing_list,
     mean = tuple(cfg.dataset.normalization.rgb_mean)
     std = tuple(cfg.dataset.normalization.rgb_std)
 
-    def eval_step(params, batch_stats, batch):
-        image = batch["frames"][:, 0] if "frames" in batch else batch["image"]
-        image = maybe_normalize(image, mean, std)
-        feats, _ = apply_encoder(
-            modules.backbone_po_depth, params["backbone_po_depth"],
-            batch_stats["backbone_po_depth"], image, train=False)
+    def eval_step(params, batch_stats, batch, feats=None, sem_probs=None):
+        if feats is None:
+            image = (batch["frames"][:, 0] if "frames" in batch
+                     else batch["image"])
+            image = maybe_normalize(image, mean, std)
+            feats, _ = apply_encoder(
+                modules.backbone_po_depth, params["backbone_po_depth"],
+                batch_stats["backbone_po_depth"], image, train=False)
 
         results: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
@@ -98,8 +100,9 @@ def build_eval_forward(modules: CodepsModules, cfg, thing_list,
                         batch["depth_gt"], depth, batch["semantic"],
                         num_classes, use_gt_scale, depth_ranges))
         if modules.semantic_head is not None:
-            sem_probs = modules.semantic_head.apply(
-                {"params": params["semantic_head"]}, feats)
+            if sem_probs is None:
+                sem_probs = modules.semantic_head.apply(
+                    {"params": params["semantic_head"]}, feats)
             sem_pred = jnp.argmax(sem_probs, axis=-1).astype(jnp.int32)
             results["semantic"] = sem_pred
             results["semantic_soft"] = sem_probs
@@ -284,11 +287,13 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         thing_list = tuple(thing_classes(cfg.dataset.label_mode,
                                          list(cfg.dataset.remove_classes)))
 
-    def _compose_cut_mixup(teacher, mixup):
+    def _compose_cut_mixup(teacher, mixup, sem_pred=None):
         """Teacher pseudo-labels + c2c warp + cut composition, traced.
 
         The cut mask mirrors Mixup.cut_mixup incl. the reference's 1px
         seams (cells end at (k+1)*crop - 1, mixup.py:139-143).
+        ``sem_pred`` carries precomputed pseudo-labels when the teacher
+        already ran batched with the metrics eval (see adapt_step).
         """
         from codeps_tpu.ops.grid_sample import grid_sample
         from codeps_tpu.ops.panoptic import get_panoptic_segmentation
@@ -299,12 +304,13 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         rgb_src = mixup["rgb_src"]          # (Nm, Hs, Ws, 3)
         semantic_src = mixup["semantic_src"]
 
-        feats, _ = apply_encoder(
-            modules.backbone_po_depth, ema_params["backbone_po_depth"],
-            ema_stats["backbone_po_depth"], rgb_tgt, train=False)
-        sem_probs = modules.semantic_head.apply(
-            {"params": ema_params["semantic_head"]}, feats)
-        sem_pred = jnp.argmax(sem_probs, axis=-1).astype(jnp.int32)
+        if sem_pred is None:
+            feats, _ = apply_encoder(
+                modules.backbone_po_depth, ema_params["backbone_po_depth"],
+                ema_stats["backbone_po_depth"], rgb_tgt, train=False)
+            sem_probs = modules.semantic_head.apply(
+                {"params": ema_params["semantic_head"]}, feats)
+            sem_pred = jnp.argmax(sem_probs, axis=-1).astype(jnp.int32)
         sem_pred = jax.lax.stop_gradient(sem_pred)
         # (instance pseudo-labels are fused in the reference but only the
         # semantic map feeds a loss; centers/offsets of mixup samples are
@@ -383,7 +389,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         domain["frames"] = maybe_normalize(domain["frames"], mean, std)
         return domain
 
-    def loss_fn(params, batch_stats, rng, batch, dist_state, teacher):
+    def loss_fn(params, batch_stats, rng, batch, dist_state, teacher,
+                plabel_sem=None):
         losses: Dict[str, jnp.ndarray] = {}
         aux: Dict[str, Any] = {}
         # uint8-transfer path: normalize on device (no-op for floats)
@@ -502,7 +509,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             if num_mixup > 0:
                 if fused_cut_mixup:
                     mix_rgb, mix_semantic = _compose_cut_mixup(
-                        teacher, batch["mixup"])
+                        teacher, batch["mixup"], sem_pred=plabel_sem)
                 else:
                     mix_rgb = batch["mixup"]["rgb"]
                     mix_semantic = batch["mixup"]["semantic"]
@@ -622,13 +629,46 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         rng, sub_loss = jax.random.split(state.rng)
 
         eval_out = None
+        plabel_sem = None
         if eval_forward is not None:
             # Teacher metrics-eval on the pre-update EMA params — same
             # ordering as the reference (eval before update_weights).
             eval_batch = {"frames": batch["target"]["frames"]}
             eval_batch.update(batch.get("eval_gt", {}))
-            eval_out = eval_forward(state.ema_params,
-                                    state.ema_batch_stats, eval_batch)
+            batch_teacher = (
+                fused_cut_mixup and num_mixup > 0
+                and modules.semantic_head is not None
+                and batch["mixup"]["rgb_tgt"].shape[1:3]
+                == batch["target"]["frames"].shape[2:4])
+            if batch_teacher:
+                # The eval frame and the mixup pseudo-label frames share
+                # the target resolution: one teacher encoder + semantic
+                # pass at batch 1+Nm (teacher runs with frozen BN stats,
+                # so batching is bit-identical) instead of two passes.
+                img_eval = maybe_normalize(
+                    batch["target"]["frames"][:, 0], mean, std)
+                img_plabel = maybe_normalize(batch["mixup"]["rgb_tgt"],
+                                             mean, std)
+                n_eval = img_eval.shape[0]
+                images = jnp.concatenate([img_eval, img_plabel], axis=0)
+                feats_all, _ = apply_encoder(
+                    modules.backbone_po_depth,
+                    state.ema_params["backbone_po_depth"],
+                    state.ema_batch_stats["backbone_po_depth"],
+                    images, train=False)
+                sem_all = modules.semantic_head.apply(
+                    {"params": state.ema_params["semantic_head"]},
+                    feats_all)
+                eval_out = eval_forward(
+                    state.ema_params, state.ema_batch_stats, eval_batch,
+                    feats=[f[:n_eval] for f in feats_all],
+                    sem_probs=sem_all[:n_eval])
+                plabel_sem = jax.lax.stop_gradient(
+                    jnp.argmax(sem_all[n_eval:], axis=-1).astype(
+                        jnp.int32))
+            else:
+                eval_out = eval_forward(state.ema_params,
+                                        state.ema_batch_stats, eval_batch)
 
         teacher = (state.ema_params, state.ema_batch_stats)
         # Differentiate ONLY wrt live modules: frozen params enter the
@@ -646,7 +686,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         def loss_trainable(tp):
             return loss_fn({**tp, **frozen}, state.batch_stats, sub_loss,
                            batch, (state.dist_buffer, state.dist_count),
-                           teacher)
+                           teacher, plabel_sem=plabel_sem)
 
         grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
         (total, aux), grads_live = grad_fn(trainable)
