@@ -153,3 +153,38 @@ def test_wandb_interval_streaming(setup):
     for key in ("rgb_0", "depth_0", "semantic_0", "center_0",
                 "offset_0", "panoptic_0"):
         assert key in panel_names, key
+
+
+def test_adaptation_runner_eval_only(setup):
+    """cfg.adapt.mode='off': the runner streams the standalone teacher
+    eval per frame (no gradient steps, no buffer adds) and accumulates
+    metrics — the reference's evaluation-only mode
+    (scripts/adapt_codeps.py:155-255 with disable_adaptation)."""
+    cfg = setup.clone().defrost()
+    cfg.adapt.mode = "off"
+    cfg.freeze()
+    target = Kitti360("sequence", cfg.dataset, return_depth=True,
+                      sequences=["03"], sequence_reference_mode="rgb",
+                      label_mode="codeps")
+    buffer = ReplayBuffer(target, cfg.adapt, "train")
+    source = Cityscapes("train", cfg.adapt.source_dataset,
+                        label_mode="codeps")
+    buffer.initialize_source_buffer(source, None)
+    modules = build_modules(cfg, NC)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+    frozen = ["backbone_po_depth", "instance_head"]
+    from codeps_tpu.tasks import build_optimizer
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(1),
+                             ema_modules=(), frozen_modules=frozen,
+                             ema_alpha=0.99)
+    runner = AdaptationRunner(cfg, modules, state, tx, buffer,
+                              frozen_modules=frozen, verbose=False)
+    assert runner.disable_adaptation
+    meters = runner.run(max_frames=2)
+    # no student updates, metrics accumulated
+    assert int(runner.state.step) == 0
+    assert meters["metrics"]["sem_conf"].sum.sum() > 0
+    assert np.isfinite(float(meters["metrics"]["d_abs_rel"].value))
+    assert meters["losses"]["loss"].count == 0
