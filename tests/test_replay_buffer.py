@@ -322,3 +322,62 @@ def test_fused_cut_mixup_matches_host_composition():
     dev_sem = np.where(mask, dev_sem_w, sem_src)
     np.testing.assert_allclose(dev_rgb, host_rgb, atol=1e-5)
     np.testing.assert_array_equal(dev_sem, host_sem)
+
+
+def test_continual_chain_prev_target_sampling(tmp_path):
+    """CS -> KITTI-360 -> SemKITTI continual chain: the second-domain
+    buffer loads the first domain's saved state and serves prev_target
+    replay samples through the +10000 index offset
+    (datasets/replay_buffer.py:189-209,447-500)."""
+    from codeps_tpu.data import SemKittiDvps
+    from codeps_tpu.data.synthetic import make_semkitti_tree
+
+    # phase 1: adapt on KITTI-360, fill + save the diversity buffer
+    cfg1 = _adapt_cfg(tmp_path, target_size=3)
+    buffer1 = _make_buffer(tmp_path, cfg1)
+    for i in range(3):
+        feats = np.random.default_rng(i).normal(
+            0, 1, (4, 6, 16)).astype(np.float32)
+        buffer1.add(i, feats)
+    state_path = str(tmp_path / "k360_buffer.pkl")
+    buffer1.save_state(state_path)
+
+    # phase 2: adapt on SemKITTI with the KITTI-360 buffer as prev_target
+    sk_root = make_semkitti_tree(tmp_path / "semkitti", num_frames=6)
+    cfg2 = gen_config(adapt=True, freeze=False)
+    cfg2.dataset.name = "sem_kitti_dvps"
+    cfg2.dataset.path = str(sk_root)
+    cfg2.dataset.feed_img_size = [32, 48]
+    cfg2.dataset.center_heatmap_sigma = 4
+    cfg2.adapt.source_dataset.name = "cityscapes"
+    cfg2.adapt.source_dataset.path = str(tmp_path / "cs")
+    cfg2.adapt.source_dataset.feed_img_size = [32, 48]
+    cfg2.adapt.replay_sampler.nof_source_samples = 2
+    cfg2.adapt.replay_sampler.nof_target_samples = 2
+    cfg2.adapt.replay_buffer.maximize_diversity = True
+    cfg2.adapt.replay_buffer.target_size = 3
+    cfg2.adapt.mixup.general.active = False
+    cfg2.freeze()
+
+    target2 = SemKittiDvps("sequence", cfg2.dataset,
+                           sequences=["07"], label_mode="codeps")
+    buffer2 = ReplayBuffer(target2, cfg2.adapt, "train")
+    source = Cityscapes("train", cfg2.adapt.source_dataset,
+                        label_mode="codeps")
+    buffer2.initialize_source_buffer(source, None)
+    prev_target = Kitti360("sequence", cfg1.dataset, sequences=["03"],
+                           sequence_reference_mode="rgb",
+                           label_mode="codeps")
+    buffer2.load_state(prev_target, state_path)
+
+    # buffer2's own target buffer is empty -> replay must come from the
+    # previous domain via the offset indices
+    item = buffer2[0]
+    assert "target_replay" in item
+    assert len(item["target_replay"]) == 2
+    for replay_item in item["target_replay"]:
+        # prev-domain frames resolve through the K360 dataset at ITS
+        # feed size
+        assert replay_item["rgb"][0].shape[:2] == (32, 48)
+    # the diversity features carried over
+    assert buffer2.sim_index.ntotal == 3
