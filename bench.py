@@ -331,6 +331,11 @@ def main():
     start = time.perf_counter()
     budget = float(os.environ.get("BENCH_BUDGET", "2700"))
     record = _run_mode("step")
+    # Flush the primary metric immediately: if the caller times the
+    # process out during the extra modes, the last complete JSON line is
+    # still a valid artifact (the final combined line replaces it when
+    # the extras finish).
+    print(json.dumps(record), flush=True)
     import jax
     record["devices"] = len(jax.devices())
     record["baseline_note"] = (
