@@ -499,6 +499,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             batch_stats["backbone_po_depth"],
             batch["source"]["frames"][:, 0], train=encoder_train)
 
+        aux_mixup = None
         if make_semantic:
             # mixup CE with unit pixel weights (semantic_seg.py:219-225).
             # The per-sample loss weight arrives as a traced (Nm,) array

@@ -231,6 +231,32 @@ def test_adapt_step_fused_cut_mixup():
     assert np.isfinite(float(metrics["loss_total"]))
 
 
+def test_adapt_step_depth_only():
+    """Adaptation with the panoptic heads disabled (depth-only flavor,
+    cfg.model.make_semantic/instance=False): only the multi-domain
+    photometric/smoothness losses drive the step."""
+    cfg = _cfg()
+    cfg.model.make_semantic = False
+    cfg.model.make_instance = False
+    frozen = ("backbone_po_depth",)
+    modules, state, tx = _modules_state(cfg, frozen)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=(), frozen_modules=frozen,
+        has_replay=True, num_mixup=0, donate=False)
+    batch = _adapt_batch()
+    batch.pop("mixup")
+
+    new_state, metrics, feats = step(state, batch)
+    for key in ("depth_recon", "depth_smth", "loss_total"):
+        assert np.isfinite(float(metrics[key])), key
+    assert "semantic_source" not in metrics
+    delta = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                         state.params["depth_head"],
+                         new_state.params["depth_head"])
+    assert max(jax.tree.leaves(delta)) > 0
+
+
 def test_adapt_step_source_thing_mask_loss():
     """use_thing_mask configs: the adapt step computes the source
     thing-mask CE (algos/instance_seg.py:177-182) and weights it into the
