@@ -490,6 +490,60 @@ class AdaptationRunner:
         # it keeps the device->host copy off the frame's critical path.
         pending_add = None
 
+        # Deferred metric consumption: the host-side processing of frame
+        # it's outputs (meter fetches, GT-panoptic fusion + PQ update —
+        # all of which force device->host syncs) happens AFTER frame
+        # it+1's gradient steps have been dispatched, so the fetches
+        # overlap the next frame's device work instead of serializing
+        # the stream. The meter/PQ update ORDER is unchanged — only the
+        # wall-clock moment they are read.
+        pending_frame: Optional[Dict[str, Any]] = None
+
+        def consume(ctx) -> None:
+            self._update_metrics(ctx["sample"], ctx["eval_gt"],
+                                 ctx["results"], ctx["stats"])
+            accum = ctx["accum"]
+            nsteps = ctx["nsteps"]
+            if accum is not None:
+                for name, value in accum.items():
+                    if name in self.meters["losses"]:
+                        self.meters["losses"][name].update(
+                            np.asarray(value) / nsteps)
+                # per-strategy mixup CE meters (reference logs
+                # semantic_cut_mixup etc., adapt_codeps.py:99)
+                if "mixup_losses" in accum:
+                    per_sample = np.asarray(accum["mixup_losses"])
+                    if self.fused_mixup:
+                        strategies_used = ["cut_mixup"] * len(per_sample)
+                    else:
+                        strategies_used = [m["strategy"]
+                                           for m in ctx["mixup_samples"]]
+                    for i, strategy in enumerate(strategies_used):
+                        name = f"semantic_{strategy}"
+                        if name in self.meters["losses"]:
+                            self.meters["losses"][name].update(
+                                per_sample[i] / nsteps)
+                self.meters["losses"]["loss"].update(
+                    np.asarray(accum["loss_total"]) / nsteps)
+
+            done = ctx["it"] + 1
+            if done % log_interval == 0:
+                if self.verbose:
+                    from codeps_tpu.io.logging import log_iter
+                    summary = {
+                        "miou": self.meters["metrics"]["sem_miou"].value,
+                        "pq": self.meters["metrics"]["p_pq"].value,
+                        "loss": self.meters["losses"]["loss"].value,
+                    }
+                    log_iter(
+                        done, num_frames, summary, prefix="adapt",
+                        elapsed=float(
+                            np.mean(self.step_times[-log_interval:])))
+                self._log_wandb_interval(done, ctx["sample"],
+                                         ctx["results"])
+                self.meters["metrics"]["sem_conf_interval"] = \
+                    ConfusionMatrixMeter(self.num_classes)
+
         for it in range(num_frames):
             sample = pending.result()
             if it + 1 < num_frames:
@@ -499,12 +553,16 @@ class AdaptationRunner:
             start = time.time()
 
             if self.disable_adaptation:
-                # eval-only mode: standalone teacher eval
+                # eval-only mode: standalone teacher eval, consumed
+                # immediately (no gradient stream to overlap with)
                 eval_batch = self._target_eval_batch(sample)
                 results, stats = self.eval_step(self.state.ema_params,
                                                 self.state.ema_batch_stats,
                                                 eval_batch)
-                self._update_metrics(sample, eval_batch, results, stats)
+                consume({"sample": sample, "eval_gt": eval_batch,
+                         "results": results, "stats": stats,
+                         "accum": None, "nsteps": 1,
+                         "mixup_samples": [], "it": it})
             else:
                 # 1. mixup pseudo-labels + composition (host path only;
                 # the fused cut-mixup path composes inside the step)
@@ -549,27 +607,15 @@ class AdaptationRunner:
                                  if k != "target_skipped"}
                     else:
                         accum = {k: accum[k] + metrics[k] for k in accum}
-                self._update_metrics(sample, eval_gt, results, stats)
-                for name, value in accum.items():
-                    if name in self.meters["losses"]:
-                        self.meters["losses"][name].update(
-                            np.asarray(value) / nsteps)
-                # per-strategy mixup CE meters (reference logs
-                # semantic_cut_mixup etc., adapt_codeps.py:99)
-                if "mixup_losses" in accum:
-                    per_sample = np.asarray(accum["mixup_losses"])
-                    if self.fused_mixup:
-                        strategies_used = ["cut_mixup"] * len(per_sample)
-                    else:
-                        strategies_used = [m["strategy"]
-                                           for m in mixup_samples]
-                    for i, strategy in enumerate(strategies_used):
-                        name = f"semantic_{strategy}"
-                        if name in self.meters["losses"]:
-                            self.meters["losses"][name].update(
-                                per_sample[i] / nsteps)
-                self.meters["losses"]["loss"].update(
-                    np.asarray(accum["loss_total"]) / nsteps)
+
+                # 3. consume the PREVIOUS frame's metrics while this
+                # frame's steps run on device
+                if pending_frame is not None:
+                    consume(pending_frame)
+                pending_frame = {"sample": sample, "eval_gt": eval_gt,
+                                 "results": results, "stats": stats,
+                                 "accum": accum, "nsteps": nsteps,
+                                 "mixup_samples": mixup_samples, "it": it}
 
                 # 4. replay buffer diversity add (previous frame's
                 # vector; this frame's copy starts now, asynchronously)
@@ -586,22 +632,8 @@ class AdaptationRunner:
 
             self.step_times.append(time.time() - start)
 
-            if (it + 1) % log_interval == 0:
-                if self.verbose:
-                    from codeps_tpu.io.logging import log_iter
-                    summary = {
-                        "miou": self.meters["metrics"]["sem_miou"].value,
-                        "pq": self.meters["metrics"]["p_pq"].value,
-                        "loss": self.meters["losses"]["loss"].value,
-                    }
-                    log_iter(
-                        it + 1, num_frames, summary, prefix="adapt",
-                        elapsed=float(
-                            np.mean(self.step_times[-log_interval:])))
-                self._log_wandb_interval(it + 1, sample, results)
-                self.meters["metrics"]["sem_conf_interval"] = \
-                    ConfusionMatrixMeter(self.num_classes)
-
+        if pending_frame is not None:
+            consume(pending_frame)
         if pending_add is not None:
             self.buffer.add(pending_add[0], np.asarray(pending_add[1]))
         executor.shutdown(wait=False, cancel_futures=True)
