@@ -175,11 +175,33 @@ class DataLoader:
         ctx = multiprocessing.get_context("fork")
         pool = ctx.Pool(self.num_workers, initializer=_mp_worker_init,
                         initargs=(self.dataset, self.offsets))
-        base = (self.seed * 100003 + self.epoch * 1009) % (2 ** 31)
-        tasks = [(batch, base + i) for i, batch in enumerate(batches)]
+
+        def task_seed(i: int) -> int:
+            # collision-resistant mixing over (run seed, epoch, host
+            # shard, batch index): large datasets and multi-host runs
+            # must not repeat or correlate augmentation streams
+            seq = np.random.SeedSequence(
+                [self.seed, self.epoch, self.shard_index, i])
+            return int(seq.generate_state(1)[0])
+
+        # Bounded in-flight window (the threaded path's
+        # queue.Queue(maxsize=prefetch) backpressure equivalent):
+        # submitting the whole epoch to imap would buffer every finished
+        # batch in the parent when the consumer stalls (compiles, slow
+        # steps) and OOM the host.
+        window = self.num_workers + self.prefetch
+        inflight = []
         try:
-            # imap keeps the pool saturated and yields in order
-            yield from pool.imap(_mp_fetch_batch, tasks, chunksize=1)
+            for i, batch in enumerate(batches[:window]):
+                inflight.append(pool.apply_async(
+                    _mp_fetch_batch, ((batch, task_seed(i)),)))
+            for i in range(len(batches)):
+                result = inflight.pop(0).get()
+                nxt = i + window
+                if nxt < len(batches):
+                    inflight.append(pool.apply_async(
+                        _mp_fetch_batch, ((batches[nxt], task_seed(nxt)),)))
+                yield result
         finally:
             pool.terminate()
             pool.join()

@@ -151,16 +151,23 @@ def reconstruction_loss(
 
         identity_losses = [photometric_error(frame_s, target_s, alpha)
                            for frame_s in frames_s]
-        identity = jnp.concatenate(identity_losses, axis=-1)
+        # The automask min + tie-break noise run in f32 regardless of the
+        # image dtype: the 1e-5 noise is below bf16 resolution of the
+        # per-pixel errors, so adding it at bf16 would round to a no-op
+        # and silently disable the Monodepth2 identity tie-break
+        # (depth.py:316-318) — exactly where bf16 quantization makes
+        # exact recon==identity ties more common.
+        identity = jnp.concatenate(identity_losses, axis=-1).astype(
+            jnp.float32)
         if identity_noise_scale:
             rng, sub = jax.random.split(rng)
-            identity = identity + (jax.random.normal(
-                sub, identity.shape, jnp.float32)
-                * identity_noise_scale).astype(identity.dtype)
+            identity = identity + jax.random.normal(
+                sub, identity.shape, jnp.float32) * identity_noise_scale
 
         combined = jnp.concatenate(
-            [jnp.concatenate(recon_losses, axis=-1), identity], axis=-1)
-        per_pixel = jnp.min(combined, axis=-1).astype(jnp.float32)
+            [jnp.concatenate(recon_losses, axis=-1).astype(jnp.float32),
+             identity], axis=-1)
+        per_pixel = jnp.min(combined, axis=-1)
         if per_sample:
             total = total + jnp.mean(per_pixel, axis=(1, 2)) / (2 ** s)
         else:

@@ -422,10 +422,16 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             if merge_tr:
                 # target + target_replay share the stream resolution:
                 # ONE batched pass through encoder/pose/depth/warps with
-                # per-sample loss reduction, then split by domain — the
-                # per-domain means are unchanged (equal pixel counts),
-                # but the ResNets and the photometric pyramid run at
-                # batch 1+Nr instead of twice.
+                # per-sample loss reduction, then split by domain. The
+                # per-domain loss means are reduction-exact (equal pixel
+                # counts); live-module BatchNorm in train mode sees the
+                # pooled 1+Nr batch instead of two per-domain batches —
+                # the same documented deviation class as the pose-pair
+                # fold in depth_forward (both sub-batches are frames of
+                # the SAME target domain; the published configs freeze
+                # the shared encoder, leaving only the pose backbone's
+                # batch statistics affected). See CLAUDE.md known
+                # deviations.
                 nt = batch["target"]["frames"].shape[0]
                 frames_tr = jnp.concatenate(
                     [batch["target"]["frames"],

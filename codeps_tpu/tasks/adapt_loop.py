@@ -535,10 +535,10 @@ class AdaptationRunner:
                         "pq": self.meters["metrics"]["p_pq"].value,
                         "loss": self.meters["losses"]["loss"].value,
                     }
+                    recent = self.step_times[-log_interval:]
                     log_iter(
                         done, num_frames, summary, prefix="adapt",
-                        elapsed=float(
-                            np.mean(self.step_times[-log_interval:])))
+                        elapsed=float(np.mean(recent)) if recent else 0.0)
                 self._log_wandb_interval(done, ctx["sample"],
                                          ctx["results"])
                 self.meters["metrics"]["sem_conf_interval"] = \
