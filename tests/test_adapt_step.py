@@ -147,7 +147,11 @@ def test_ring_buffer_skip_logic():
     assert float(b3[0]) == 0.5
 
 
-def test_adapt_step_end_to_end():
+@pytest.fixture(scope="module")
+def shared_step():
+    """One compiled adapt step shared by the tests that use the default
+    shape/config (each make_adapt_step call creates a fresh jit cache
+    entry; sharing saves a multi-minute XLA-CPU compile per test)."""
     cfg = _cfg()
     frozen = ("backbone_po_depth", "instance_head")
     modules, state, tx = _modules_state(cfg, frozen)
@@ -155,7 +159,15 @@ def test_adapt_step_end_to_end():
         modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
         ema_modules=("semantic_head",), frozen_modules=frozen,
         has_replay=True, num_mixup=2, donate=False)
+    return cfg, modules, state, tx, step
+
+
+def test_adapt_step_end_to_end(shared_step):
+    cfg, modules, state, tx, step = shared_step
     batch = _adapt_batch()
+    # same batch pytree structure as the N-step test so the two share
+    # ONE compiled executable (True = blend, the N=1 semantics)
+    batch["do_ema"] = np.asarray(True)
 
     new_state, metrics, feats = step(state, batch)
     for key in ("depth_recon", "depth_smth", "semantic_source",
@@ -288,18 +300,12 @@ def test_adapt_step_source_thing_mask_loss():
     np.testing.assert_allclose(total, weighted + contrib, rtol=2e-4)
 
 
-def test_ema_blends_once_per_frame_at_n_steps():
+def test_ema_blends_once_per_frame_at_n_steps(shared_step):
     """nof_adaptation_steps=3: the EMA teacher must equal the reference
     formula applied ONCE to the final student params (update_weights is
     called after the N-step loop, adapt_codeps.py:268-299) — the traced
     do_ema flag keeps the teacher untouched on steps 0..N-2."""
-    cfg = _cfg()
-    frozen = ("backbone_po_depth", "instance_head")
-    modules, state, tx = _modules_state(cfg, frozen)
-    step = make_adapt_step(
-        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
-        ema_modules=("semantic_head",), frozen_modules=frozen,
-        has_replay=True, num_mixup=2, donate=False)
+    cfg, modules, state, tx, step = shared_step
     batch = _adapt_batch()
 
     ema0_sem = jax.tree.map(jnp.array, state.ema_params["semantic_head"])
