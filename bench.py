@@ -119,8 +119,14 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
         "metric": "pretrain_images_per_sec",
         "value": round(images_per_sec, 3),
         "unit": "img/s",
-        "vs_baseline": round((num_steps / elapsed)
-                             / _baseline_for_devices(), 3),
+        # The reference publishes NO pretrain throughput (BASELINE.md:15
+        # — the torch script has data_time/batch_time meters but no
+        # reported numbers), so there is no honest ratio to compute;
+        # earlier rounds divided train steps/s by the ADAPT steps/s
+        # target, a unit mismatch. Omitted rather than faked.
+        "vs_baseline": None,
+        "baseline_note": "no published reference pretrain throughput "
+                         "(BASELINE.md); ratio intentionally omitted",
     }
 
 
@@ -215,7 +221,6 @@ def _run_mode(mode):
             "rgb": frames(num_mixup, hs, ws)[:, 0],
             "semantic": jnp.asarray(rng.integers(
                 0, num_classes, (num_mixup, hs, ws)).astype(np.int32)),
-            "loss_weight": jnp.asarray([1.0, 0.0], jnp.float32),
         },
     }
 
@@ -243,7 +248,6 @@ def _run_mode(mode):
                 [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
                 (num_mixup, 1)),
             "cut_cells": jnp.zeros((num_mixup, nof_segments), jnp.int32),
-            "loss_weight": batch["mixup"]["loss_weight"],
         }
         sim_index = SimIndex(modules.backbone_po_depth.num_ch_enc[-1])
         host_rng = np.random.default_rng(0)

@@ -6,8 +6,7 @@ from codeps_tpu.losses.smoothness import (edge_aware_smoothness_loss,
                                           flow_sparsity_loss)
 from codeps_tpu.losses.semantic import (cross_entropy_per_pixel,
                                         semantic_consistency_loss,
-                                        semantic_loss,
-                                        semantic_loss_per_sample)
+                                        semantic_loss)
 from codeps_tpu.losses.instance import (binary_mask_loss, center_loss,
                                         ema_consistency_loss, offset_loss)
 
@@ -16,6 +15,6 @@ __all__ = [
     "reconstruction_loss_semantic", "ssim", "edge_aware_smoothness_loss",
     "flow_smoothness_loss", "flow_sparsity_loss", "cross_entropy_per_pixel",
     "semantic_consistency_loss", "semantic_loss",
-    "semantic_loss_per_sample", "binary_mask_loss",
+    "binary_mask_loss",
     "center_loss", "ema_consistency_loss", "offset_loss",
 ]

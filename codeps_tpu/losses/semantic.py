@@ -97,48 +97,6 @@ def semantic_loss(
     return jnp.mean(loss)
 
 
-def semantic_loss_per_sample(
-    prediction: jnp.ndarray,
-    target: jnp.ndarray,
-    pixel_weights: jnp.ndarray,
-    class_weights: Sequence[float] | None = None,
-    ignore_labels: Sequence[int] | None = None,
-    top_k_percent_pixels: float = 1.0,
-    ignore_index: int = 255,
-) -> jnp.ndarray:
-    """(B,) per-sample hard-pixel-mining CE.
-
-    Bit-equal to stacking ``semantic_loss`` over single-sample slices
-    (the adaptation mixup loss runs per sample with its own top-k pool,
-    algos/semantic_seg.py:219-225) but traced once: one batched top_k
-    instead of an unrolled per-sample loop — smaller HLO, faster compile,
-    one kernel at runtime.
-    """
-    if ignore_labels:
-        for ignore_label in ignore_labels:
-            target = jnp.where(target == ignore_label, ignore_index, target)
-        preserved = [c for c in range(prediction.shape[-1])
-                     if c not in ignore_labels]
-        prediction = prediction[..., jnp.asarray(preserved)]
-        if class_weights is not None:
-            class_weights = [w for label, w in enumerate(class_weights)
-                             if label not in ignore_labels]
-
-    weights_arr = None
-    if class_weights is not None:
-        weights_arr = jnp.asarray(class_weights, dtype=prediction.dtype)
-
-    loss = cross_entropy_per_pixel(prediction, target, weights_arr,
-                                   ignore_index)
-    loss = loss * pixel_weights
-    flat = loss.reshape(loss.shape[0], -1)
-    if top_k_percent_pixels < 1.0:
-        k = int(top_k_percent_pixels * flat.shape[1])
-        top_vals, _ = jax.lax.top_k(flat, k)
-        return jnp.mean(top_vals, axis=1)
-    return jnp.mean(flat, axis=1)
-
-
 def semantic_consistency_loss(
     rng: jax.Array,
     intrinsics: jnp.ndarray,

@@ -220,6 +220,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     frozen_modules: Sequence[str] = (),
                     has_replay: bool = True,
                     num_mixup: int = 0,
+                    mixup_groups=None,
                     fused_cut_mixup: bool = False,
                     sem_ignore_classes=None,
                     donate: bool = True,
@@ -242,10 +243,10 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
               thing_mask
       target_replay (when has_replay): frames (Nr, 3, Ht, Wt, 3), camera
       mixup (when num_mixup > 0): either composed samples
-              {rgb (Nm, Hs, Ws, 3), semantic (Nm, Hs, Ws), loss_weight}
+              {rgb (Nm, Hs, Ws, 3), semantic (Nm, Hs, Ws)}
               or, with fused_cut_mixup, the raw materials
               {rgb_src, semantic_src, rgb_tgt, intr_src, intr_tgt,
-               cut_cells (Nm, nof_segments) int32, loss_weight} — the
+               cut_cells (Nm, nof_segments) int32} — the
               teacher pseudo-labeling, panoptic fusion, camera warp, and
               cut composition then run INSIDE this jit (parity with the
               reference, which composes mixup inside every adapt forward,
@@ -278,6 +279,19 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     encoder_train = "backbone_po_depth" not in frozen_modules
     pose_train = "backbone_pose_sflow" not in frozen_modules
     instance_train = "instance_head" not in frozen_modules
+
+    # Mixup sub-batches arrive sorted by strategy (canonical order);
+    # ``mixup_groups`` = ((strategy, count), ...) partitions the Nm axis.
+    # Parity: the reference collate merges a strategy's nof_samples items
+    # into ONE batched tensor under one key (train_utils.py:101-114), and
+    # SemanticSegAlgo.adaptation computes a single flattened-top-k CE per
+    # key (semantic_seg.py:219-225) that the loss dict weights once
+    # (online_adap.py:413-414, adapt_codeps.py:284-288) — NOT a
+    # per-sample loss sum.
+    if mixup_groups is None:
+        mixup_groups = (("cut_mixup", num_mixup),) if num_mixup else ()
+    mixup_groups = tuple((str(n), int(c)) for n, c in mixup_groups if c)
+    assert sum(c for _, c in mixup_groups) == num_mixup
 
     cut_cfg = cfg.adapt.mixup.cut_mix
     geom_augment = cfg.adapt.mixup.general.geom_augment
@@ -505,13 +519,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             batch_stats["backbone_po_depth"],
             batch["source"]["frames"][:, 0], train=encoder_train)
 
-        aux_mixup = None
         if make_semantic:
-            # mixup CE with unit pixel weights (semantic_seg.py:219-225).
-            # The per-sample loss weight arrives as a traced (Nm,) array
-            # (selected on host from cfg.losses.weights per strategy) so
-            # the compiled step is independent of the per-frame strategy
-            # draw order.
+            # mixup CE with unit pixel weights (semantic_seg.py:219-225)
             mix_feats = None
             if num_mixup > 0:
                 if fused_cut_mixup:
@@ -554,20 +563,27 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 top_k_percent_pixels=top_k)
 
             if sem_mix is not None:
-                # per-sample top-k pools (semantic_seg.py:219-225),
-                # batched into one traced loss
-                from codeps_tpu.losses import semantic_loss_per_sample
-                mixup_losses = semantic_loss_per_sample(
-                    sem_mix, mix_semantic,
-                    jnp.ones_like(mix_semantic, dtype=jnp.float32),
-                    class_weights=class_weights,
-                    ignore_labels=sem_ignore_classes,
-                    top_k_percent_pixels=top_k)
-                aux_mixup = mixup_losses
-                losses["semantic_mixup_weighted"] = jnp.sum(
-                    mixup_losses * batch["mixup"]["loss_weight"])
-            else:
-                aux_mixup = None
+                # ONE pooled flattened-top-k CE per strategy group (the
+                # reference's per-KEY SemanticLoss over the collated
+                # strategy batch, semantic_seg.py:219-225); the generic
+                # weighting below applies cfg.losses.weights
+                # [f"semantic_{strategy}"] once per group. Groups whose
+                # weight is None are dropped entirely, matching the
+                # reference's None-ing of unweighted losses
+                # (adapt_codeps.py:273-276).
+                start = 0
+                for strategy, count in mixup_groups:
+                    sl = slice(start, start + count)
+                    start += count
+                    if weights.get(f"semantic_{strategy}") is None:
+                        continue
+                    losses[f"semantic_{strategy}"] = semantic_loss(
+                        sem_mix[sl], mix_semantic[sl],
+                        jnp.ones_like(mix_semantic[sl],
+                                      dtype=jnp.float32),
+                        class_weights=class_weights,
+                        ignore_labels=sem_ignore_classes,
+                        top_k_percent_pixels=top_k)
 
         if make_instance:
             variables = {"params": params["instance_head"],
@@ -611,9 +627,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
         total = jnp.zeros((), jnp.float32)
         for key, value in losses.items():
-            if key == "semantic_mixup_weighted":
-                total = total + value  # per-sample weights already applied
-                continue
             weight = weights.get(key)
             if weight is not None:
                 total = total + weight * value
@@ -629,7 +642,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             jnp.linalg.norm(pooled, axis=1, keepdims=True), 1e-12)
         aux["image_features"] = pooled
         aux["losses"] = losses
-        aux["mixup_losses"] = aux_mixup
         return total, aux
 
     def adapt_step(state: AdaptState, batch):
@@ -741,8 +753,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
         metrics = {"loss_total": total, "target_skipped": skip,
                    **aux["losses"]}
-        if aux.get("mixup_losses") is not None:
-            metrics["mixup_losses"] = aux["mixup_losses"]
         new_state = AdaptState(
             params=new_params, batch_stats=state.batch_stats,
             ema_params=new_ema, ema_batch_stats=new_ema_stats,

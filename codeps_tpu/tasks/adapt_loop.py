@@ -97,6 +97,13 @@ class AdaptationRunner:
         num_mixup = (cfg.adapt.mixup.general.nof_samples
                      if self.mixup_active else 0)
         strategies = list(cfg.adapt.mixup.general.mixup_strategies)
+        # Per-strategy sub-batches in canonical MIXUP_KEYS order: the
+        # reference collates each strategy's items under one key
+        # (train_utils.py:101-114) and computes ONE pooled CE per key;
+        # the step receives samples sorted accordingly.
+        mixup_groups = tuple(
+            (name, strategies.count(name)) for name in MIXUP_KEYS
+            if name in strategies) if num_mixup else ()
         # The published adapt configs use only cut_mixup — that path runs
         # entirely inside the adapt step (teacher pseudo-labels + warp +
         # composition), eliminating all mixup host round-trips.
@@ -114,6 +121,7 @@ class AdaptationRunner:
             modules=modules, cfg=cfg, tx=tx, class_weights=class_weights,
             ema_modules=self.ema_modules,
             frozen_modules=self.frozen_modules, num_mixup=num_mixup,
+            mixup_groups=mixup_groups,
             fused_cut_mixup=self.fused_mixup,
             sem_ignore_classes=list(self.ignore_classes) or None,
             eval_forward=eval_forward)
@@ -148,8 +156,8 @@ class AdaptationRunner:
     def _make_meters(self):
         loss_names = ["loss", "depth_recon", "depth_smth", "flow_smth",
                       "flow_sparsity", "semantic_source",
-                      "semantic_mixup_weighted", "semantic_cut_mixup",
-                      "semantic_class_mixup", "semantic_conf_instance_mixup",
+                      "semantic_cut_mixup", "semantic_class_mixup",
+                      "semantic_conf_instance_mixup",
                       "center_source", "offset_source", "thing_mask_source"]
         metric_names = ["d_abs_rel", "d_a1", "d_a2", "d_a3", "d_rmse",
                         "d_rmse_log", "d_sq_rel"]
@@ -255,7 +263,6 @@ class AdaptationRunner:
                 self.mixup_rng.choice(nof_splits, nof_segments,
                                       replace=False)
                 for _ in items]).astype(np.int32)
-            weight = self.loss_weights.get("semantic_cut_mixup") or 0.0
             batch["mixup"] = {
                 "rgb_src": jnp.asarray(_stack_images(
                     [m["rgb_src"][0] for m in items])),
@@ -271,12 +278,12 @@ class AdaptationRunner:
                     [np.asarray(m["camera_model_tgt"], np.float32)
                      for m in items])),
                 "cut_cells": jnp.asarray(cut_cells),
-                "loss_weight": jnp.full((len(items),), weight,
-                                        jnp.float32),
             }
         elif mixup_samples:
             # center/offset are omitted: no adaptation loss consumes
-            # them (see Mixup.do_mixup note).
+            # them (see Mixup.do_mixup note). Samples are already in
+            # canonical strategy order (_compose_mixups iterates
+            # MIXUP_KEYS), matching the step's static mixup_groups.
             batch["mixup"] = {
                 "rgb": jnp.asarray(np.stack(
                     [np.asarray(m["rgb"][0], np.float32)
@@ -284,9 +291,6 @@ class AdaptationRunner:
                 "semantic": jnp.asarray(np.stack(
                     [np.asarray(m["semantic"], np.int32)
                      for m in mixup_samples])),
-                "loss_weight": jnp.asarray(np.asarray(
-                    [self.loss_weights.get(f"semantic_{m['strategy']}")
-                     or 0.0 for m in mixup_samples], np.float32)),
             }
         return batch
 
@@ -505,24 +509,13 @@ class AdaptationRunner:
             accum = ctx["accum"]
             nsteps = ctx["nsteps"]
             if accum is not None:
+                # per-strategy mixup CE arrives as semantic_cut_mixup
+                # etc. directly in the metrics dict (one pooled loss per
+                # strategy, reference meter names, adapt_codeps.py:99)
                 for name, value in accum.items():
                     if name in self.meters["losses"]:
                         self.meters["losses"][name].update(
                             np.asarray(value) / nsteps)
-                # per-strategy mixup CE meters (reference logs
-                # semantic_cut_mixup etc., adapt_codeps.py:99)
-                if "mixup_losses" in accum:
-                    per_sample = np.asarray(accum["mixup_losses"])
-                    if self.fused_mixup:
-                        strategies_used = ["cut_mixup"] * len(per_sample)
-                    else:
-                        strategies_used = [m["strategy"]
-                                           for m in ctx["mixup_samples"]]
-                    for i, strategy in enumerate(strategies_used):
-                        name = f"semantic_{strategy}"
-                        if name in self.meters["losses"]:
-                            self.meters["losses"][name].update(
-                                per_sample[i] / nsteps)
                 self.meters["losses"]["loss"].update(
                     np.asarray(accum["loss_total"]) / nsteps)
 
