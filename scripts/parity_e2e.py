@@ -56,11 +56,14 @@ MIOU_TOL = 0.005     # same spirit for mIoU (fractional)
 
 # --------------------------------------------------------- torch encoder
 
-def build_torch_encoder(torch, num_layers=18):
+def build_torch_encoder(torch, num_layers=18, in_channels=3):
     """torchvision-layout ResNet-18 trunk wrapped like the reference's
     ResnetEncoder (models/resnet_encoder.py:82-126): state_dict keys are
     'encoder.conv1.weight', 'encoder.layer1.0.conv1.weight', ... so
-    io/convert_pth.convert_resnet_encoder consumes it unchanged."""
+    io/convert_pth.convert_resnet_encoder consumes it unchanged.
+
+    ``in_channels=6`` mirrors the num_input_images=2 pose/sflow variant
+    (resnet_multiimage_input, models/resnet_encoder.py:58-79)."""
     import torch.nn as nn
 
     class BasicBlock(nn.Module):
@@ -85,7 +88,7 @@ def build_torch_encoder(torch, num_layers=18):
     class ResNetTrunk(nn.Module):
         def __init__(self):
             super().__init__()
-            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.conv1 = nn.Conv2d(in_channels, 64, 7, 2, 3, bias=False)
             self.bn1 = nn.BatchNorm2d(64)
             self.relu = nn.ReLU(inplace=True)
             self.maxpool = nn.MaxPool2d(3, 2, 1)
