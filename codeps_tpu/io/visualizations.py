@@ -64,6 +64,31 @@ def colorize_offset_fast(offset: np.ndarray) -> np.ndarray:
     return (mcolors.hsv_to_rgb(hsv) * 255).astype(np.uint8)
 
 
+def colorize_motion_map(motion_maps) -> np.ndarray:
+    """Side-by-side object-motion panel for one sample.
+
+    Parity: _add_motion_map (/root/reference/io_utils/visualizations.py:309-342):
+    the sflow pair [m(t->t-1), m(t->t+1)] is rendered as
+    [-m0, m1] — negating the backward map so both halves share the
+    forward-motion sign — mean-reduced over the (x, y, z) channels,
+    then viridis-mapped with per-half min/max normalization.
+
+    Args:
+      motion_maps: pair of (H, W, 3) NHWC scene-flow maps.
+    Returns:
+      (H, 2W, 3) uint8 panel.
+    """
+    import matplotlib.cm as cm
+
+    halves = []
+    for signed in (-np.asarray(motion_maps[0]), np.asarray(motion_maps[1])):
+        mean = signed.mean(axis=-1)
+        lo, hi = float(mean.min()), float(mean.max())
+        norm = (mean - lo) / max(hi - lo, 1e-12)
+        halves.append((cm.viridis(norm)[..., :3] * 255).astype(np.uint8))
+    return np.concatenate(halves, axis=1)
+
+
 def colorize_panoptic(panoptic: np.ndarray, remove_classes=(),
                       label_mode: str = "codeps",
                       label_divisor: int = 1000,
@@ -131,6 +156,11 @@ def gen_visualizations(sample: Dict, results: Dict, rgb_mean, rgb_std,
         if results.get("depth") is not None:
             panels[f"depth_{prefix}"] = colorize_depth(
                 np.asarray(results["depth"])[b, ..., 0])
+        if results.get("object_motion_map") is not None:
+            # sflow configs: [m(t->t-1), m(t->t+1)] pair per sample
+            # (io_utils/visualizations.py:36-38)
+            panels[f"motion_{prefix}"] = colorize_motion_map(
+                [np.asarray(m)[b] for m in results["object_motion_map"]])
         if results.get("semantic") is not None:
             panels[f"semantic_{prefix}"] = colorize_semantic(
                 np.asarray(results["semantic"])[b], remove_classes,
