@@ -24,8 +24,16 @@ def run_validation(cfg, modules, params, batch_stats, loader,
                    compute_loss: bool = False,
                    class_weights=None,
                    gen_visuals: bool = False,
-                   label_mode: str = "codeps") -> Dict[str, Any]:
+                   label_mode: str = "codeps",
+                   mesh=None) -> Dict[str, Any]:
     """Evaluate params over a loader; returns aggregate metrics.
+
+    With ``mesh`` the batch axis is sharded over the device mesh (the
+    reference validates on all ranks and all-reduces the meters,
+    scripts/train_codeps.py:317-321 + eval/semantic.py:43-50); batches
+    whose size does not divide the mesh (the drop_last=False tail)
+    fall back to default placement. Metrics are identical either way —
+    the per-batch reductions are batch-size-weighted sums.
 
     With ``compute_loss=True`` also reports the unweighted validation
     losses under ``val_loss_*`` keys plus ``val_loss`` (the weighted
@@ -41,6 +49,18 @@ def run_validation(cfg, modules, params, batch_stats, loader,
     eval_step = make_eval_step(modules, cfg, thing_list, ignore_classes)
     gt_panoptic = make_gt_panoptic_step(modules, thing_list)
     num_classes = modules.num_classes
+
+    if mesh is not None:
+        from codeps_tpu.parallel import replicate, shard_batch
+        params = replicate(params, mesh)
+        batch_stats = replicate(batch_stats, mesh)
+
+    def place(batch_np):
+        leading = next(iter(batch_np.values())).shape[0]
+        if mesh is not None and leading % mesh.devices.size == 0:
+            return shard_batch(
+                {k: np.asarray(v) for k, v in batch_np.items()}, mesh)
+        return {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     loss_step = None
     if compute_loss:
@@ -66,7 +86,7 @@ def run_validation(cfg, modules, params, batch_stats, loader,
     for batch_index, batch_np in enumerate(loader):
         if max_batches is not None and batch_index >= max_batches:
             break
-        batch = {key: jnp.asarray(value) for key, value in batch_np.items()}
+        batch = place(batch_np)
         results, stats = eval_step(params, batch_stats, batch)
 
         if loss_step is not None:

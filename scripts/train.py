@@ -119,10 +119,12 @@ def main():
                               shard_index=jax.process_index(),
                               num_shards=jax.process_count(),
                               num_workers=cfg.train.nof_workers_per_gpu)
-    # Validation runs unsharded (run_validation jits per batch shape), so
-    # no device multiplier; drop_last would silently skip small val sets.
+    # Validation shards the batch axis over the mesh (the reference
+    # validates on all ranks with all-reduced meters,
+    # train_codeps.py:317-321); drop_last=False keeps the tail batch,
+    # which run_validation places unsharded when it doesn't divide.
     val_loader = DataLoader(val_dataset,
-                            cfg.val.batch_size_per_gpu,
+                            cfg.val.batch_size_per_gpu * num_devices,
                             cfg.dataset.offsets, shuffle=False,
                             drop_last=False)
 
@@ -231,7 +233,7 @@ def main():
                 train_dataset.ignore_classes, compute_loss=True,
                 class_weights=jnp.asarray(class_weights, jnp.float32),
                 gen_visuals=wandb_logger.enabled,
-                label_mode=cfg.dataset.label_mode)
+                label_mode=cfg.dataset.label_mode, mesh=mesh)
             log_info("Val epoch %d: %s", epoch,
                      {k: round(float(v), 4) for k, v in metrics.items()
                       if np.ndim(v) == 0})
