@@ -286,7 +286,12 @@ def jax_eval_frames(cfg, params, batch_stats, frames, thing_list,
 # ----------------------------------------------------------------- main
 
 def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
-        tree_root=None):
+        tree_root=None, pretrain_steps=0):
+    """``pretrain_steps>0`` briefly overfits the torch reference on the
+    synthetic frames (supervised semantic/center/offset/depth) before
+    the comparison, so PQ/mIoU compare non-trivial predictions instead
+    of random-weight noise (the PQ matching machinery then runs on real
+    segment sets; with 0 the pixel-agreement guard carries the test)."""
     import torch
 
     from codeps_tpu.config import gen_config
@@ -335,14 +340,6 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
         randomize_bn_stats(torch, encoder, seed + 1)
         randomize_bn_stats(torch, instance_head, seed + 2)
 
-    ckpt_path = Path(tmp) / "parity_weights.pth"
-    torch.save({"state_dict": {
-        "backbone_po_depth": encoder.state_dict(),
-        "depth_head": depth_head.state_dict(),
-        "semantic_head": semantic_head.state_dict(),
-        "instance_head": instance_head.state_dict(),
-    }}, str(ckpt_path))
-
     # ---- frames through our loader; identical normalized inputs
     mean = np.asarray(cfg.dataset.normalization.rgb_mean, np.float32)
     std = np.asarray(cfg.dataset.normalization.rgb_std, np.float32)
@@ -362,6 +359,53 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
             "center": np.asarray(sample["center"], np.float32),
             "offset": np.asarray(sample["offset"], np.float32),
         })
+
+    if pretrain_steps:
+        # Overfit the frame set so predictions carry real structure
+        # (PQ matching runs on non-empty segment sets). CE-on-softmax
+        # mirrors the reference head-output quirk.
+        import torch.nn.functional as F
+        for model in (encoder, depth_head, semantic_head, instance_head):
+            model.train()
+        opt = torch.optim.Adam(
+            [p for m in (encoder, depth_head, semantic_head,
+                         instance_head) for p in m.parameters()],
+            lr=1e-3)
+        images = torch.tensor(np.stack(
+            [f["image_chw"] for f in frames]))
+        sem_gt = torch.tensor(np.stack(
+            [f["semantic"] for f in frames]).astype(np.int64))
+        center_gt = torch.tensor(np.stack(
+            [f["center"] for f in frames])).permute(0, 3, 1, 2)
+        offset_gt = torch.tensor(np.stack(
+            [f["offset"] for f in frames])).permute(0, 3, 1, 2)
+        depth_gt = torch.tensor(np.stack(
+            [f["depth"] for f in frames]))[:, None]
+        valid = depth_gt > 0
+        for _ in range(pretrain_steps):
+            opt.zero_grad()
+            feats = encoder(images)
+            sem = semantic_head(feats)
+            center, offset, _ = instance_head(feats)
+            depth = depth_head(feats)
+            loss = (F.cross_entropy(sem, sem_gt, ignore_index=255)
+                    + 200.0 * F.mse_loss(center, center_gt)
+                    + 0.05 * F.l1_loss(offset, offset_gt)
+                    + 0.2 * torch.mean(torch.abs(
+                        torch.log(depth[valid])
+                        - torch.log(depth_gt[valid]))))
+            loss.backward()
+            opt.step()
+        for model in (encoder, depth_head, semantic_head, instance_head):
+            model.eval()
+
+    ckpt_path = Path(tmp) / "parity_weights.pth"
+    torch.save({"state_dict": {
+        "backbone_po_depth": encoder.state_dict(),
+        "depth_head": depth_head.state_dict(),
+        "semantic_head": semantic_head.state_dict(),
+        "instance_head": instance_head.state_dict(),
+    }}, str(ckpt_path))
 
     torch_metrics, torch_preds = torch_eval_frames(
         torch, (encoder, depth_head, semantic_head, instance_head), frames,
@@ -406,7 +450,8 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
     lines = [
         "# PARITY_E2E — end-to-end metric parity vs the PyTorch reference",
         "",
-        f"Same seeded weights (converted with `io/convert_pth.py`), same "
+        f"Same {'synthetically pretrained (' + str(pretrain_steps) + ' torch steps)' if pretrain_steps else 'seeded'} "
+        f"weights (converted with `io/convert_pth.py`), same "
         f"{len(frames)} synthetic KITTI-360 frames at "
         f"{feed_size[0]}x{feed_size[1]}, both eval pipelines end-to-end "
         "(encoder -> heads -> panoptic fusion -> evaluators). "
@@ -456,5 +501,9 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
 
 
 if __name__ == "__main__":
-    ok, *_ = run()
+    # The artifact run pretrains the torch reference on the synthetic
+    # frames so PQ/mIoU compare non-trivial predictions (VERDICT r2
+    # weak #4); the CI wrapper keeps pretrain_steps=0 for speed.
+    steps = int(os.environ.get("PARITY_E2E_PRETRAIN", "300"))
+    ok, *_ = run(pretrain_steps=steps)
     sys.exit(0 if ok else 1)
