@@ -54,6 +54,7 @@ def semantic_loss(
     ignore_labels: Sequence[int] | None = None,
     top_k_percent_pixels: float = 1.0,
     ignore_index: int = 255,
+    dtype=None,
 ) -> jnp.ndarray:
     """Hard-pixel-mining cross entropy.
 
@@ -67,7 +68,16 @@ def semantic_loss(
       target: (B, H, W) int labels.
       pixel_weights: (B, H, W).
       ignore_labels: static list of class channels to drop entirely.
+      dtype: element type for the PER-PIXEL log/softmax math (the
+        adaptation step passes the conv compute dtype — bf16 on TPU —
+        matching the image-space photometric policy; the fwd+bwd
+        elementwise chain over B*H*W*C is pure HBM bandwidth). The final
+        top-k mean always accumulates in f32. Default None keeps f32
+        end-to-end (golden tests).
     """
+    if dtype is not None:
+        prediction = prediction.astype(dtype)
+        pixel_weights = pixel_weights.astype(dtype)
     if ignore_labels:
         for ignore_label in ignore_labels:
             target = jnp.where(target == ignore_label, ignore_index, target)
@@ -93,8 +103,8 @@ def semantic_loss(
         flat = loss.reshape(-1)
         k = int(top_k_percent_pixels * flat.shape[0])
         top_vals, _ = jax.lax.top_k(flat, k)
-        return jnp.mean(top_vals)
-    return jnp.mean(loss)
+        return jnp.mean(top_vals.astype(jnp.float32))
+    return jnp.mean(loss.astype(jnp.float32))
 
 
 def semantic_consistency_loss(

@@ -26,6 +26,46 @@ def _reflect_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
                    mode="reflect")
 
 
+class _GudaConv(nn.Module):
+    """semconv_guda with two equivalent evaluation modes sharing one
+    parameter tree (kernel HWIO + bias, identical to nn.Conv):
+
+      full:  resize -> concat -> one 240-deep 3x3 conv at full res (the
+             reference formulation; eval/teacher paths).
+      block: the same function in BLOCK-PHASE space
+             (ops/guda_fusion.guda_fused_semconv_blockspace) — per-scale
+             phase convs on the small grids, no full-resolution
+             240-channel intermediates; returns
+             (B, H/blk, W/blk, blk, blk, C). depth_to_space of it equals
+             the full mode exactly; per-pixel consumers (softmax + CE,
+             argmax) run in this view (training loss paths).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray],
+                 out_res: tuple[int, int], mode: str = "full"):
+        from codeps_tpu.ops.guda_fusion import (
+            guda_fused_semconv_blockspace)
+        cin = sum(f.shape[-1] for f in feats)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        feats = tuple(f.astype(self.dtype) for f in feats)
+        kernel = kernel.astype(self.dtype)
+        if mode == "block":
+            z6 = guda_fused_semconv_blockspace(feats, kernel, out_res)
+            return z6 + bias.astype(self.dtype)
+        upsampled = [resize_bilinear(f, out_res) for f in feats]
+        feat_cat = jnp.concatenate(upsampled, axis=-1)
+        out = jax.lax.conv_general_dilated(
+            feat_cat, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out + bias.astype(self.dtype)
+
+
 class _ConvELU(nn.Module):
     """3x3 conv + ELU with zero or reflect padding."""
     features: int
@@ -174,7 +214,17 @@ class SemanticHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, in_feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    def __call__(self, in_feats: Sequence[jnp.ndarray],
+                 phase_space: bool = False) -> jnp.ndarray:
+        """``phase_space=True`` (GUDA fusion only) returns the softmax
+        probabilities in the block-phase view
+        (B, H/blk, W/blk, blk, blk, num_classes) — identical per-pixel
+        values (depth_to_space recovers the full map), computed without
+        any full-resolution activation (see _GudaConv). Training loss
+        paths use it; eval/teacher keep the full-resolution output.
+        A phase variant that d2s'ed back to full resolution measured
+        SLOWER than the reference formulation (3.24 -> 2.98 steps/s,
+        r3 bench) — the win requires consumers to stay in this view."""
         feat = in_feats[-1].astype(self.dtype)
         guda_mem = []
         for i in range(4, -1, -1):
@@ -191,12 +241,13 @@ class SemanticHead(nn.Module):
 
         if self.use_guda_fusion:
             out_res = guda_mem[-1].shape[1:3]
-            upsampled = [resize_bilinear(f, out_res) for f in guda_mem]
-            feat_cat = jnp.concatenate(upsampled, axis=-1)
-            sem = nn.Conv(self.num_classes, (3, 3),
-                          padding=[(1, 1), (1, 1)], dtype=self.dtype,
-                          name="semconv_guda")(feat_cat)
+            sem = _GudaConv(self.num_classes, dtype=self.dtype,
+                            name="semconv_guda")(
+                guda_mem, out_res,
+                mode="block" if phase_space else "full")
         else:
+            assert not phase_space, (
+                "phase_space output requires use_guda_fusion")
             sem = nn.Conv(self.num_classes, (3, 3), padding="VALID",
                           dtype=self.dtype,
                           name="semconv")(_reflect_pad(feat))

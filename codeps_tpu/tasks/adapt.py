@@ -534,6 +534,19 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     batch_stats["backbone_po_depth"],
                     mix_rgb, train=encoder_train)
 
+            # GUDA configs evaluate the student head in block-phase
+            # space: the CE runs per pixel on the 6-d view, so the step
+            # never materializes a full-resolution student semantic
+            # activation — only the int32 label maps reshuffle
+            # (ops/guda_fusion.py; teacher/eval paths keep the full-res
+            # output).
+            use_phase = modules.semantic_head.use_guda_fusion
+
+            def _apply_sem(feats):
+                return modules.semantic_head.apply(
+                    {"params": params["semantic_head"]}, feats,
+                    phase_space=use_phase)
+
             num_source = batch["source"]["frames"].shape[0]
             if (mix_feats is not None
                     and mix_feats[0].shape[1:] == source_feats[0].shape[1:]):
@@ -544,23 +557,30 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 # module in the step).
                 feats_cat = [jnp.concatenate([fs, fm], axis=0)
                              for fs, fm in zip(source_feats, mix_feats)]
-                sem_cat = modules.semantic_head.apply(
-                    {"params": params["semantic_head"]}, feats_cat)
+                sem_cat = _apply_sem(feats_cat)
                 sem_src = sem_cat[:num_source]
                 sem_mix = sem_cat[num_source:]
             else:
-                sem_src = modules.semantic_head.apply(
-                    {"params": params["semantic_head"]}, source_feats)
-                sem_mix = (modules.semantic_head.apply(
-                    {"params": params["semantic_head"]}, mix_feats)
-                    if mix_feats is not None else None)
+                sem_src = _apply_sem(source_feats)
+                sem_mix = (_apply_sem(mix_feats)
+                           if mix_feats is not None else None)
+
+            src_sem_gt = batch["source"]["semantic"]
+            src_weights = batch["source"]["semantic_weights"]
+            if use_phase:
+                from codeps_tpu.ops.guda_fusion import space_to_depth
+                block = src_sem_gt.shape[1] // sem_src.shape[1]
+                src_sem_gt = space_to_depth(src_sem_gt, block)
+                src_weights = space_to_depth(src_weights, block)
+                if sem_mix is not None:
+                    mix_semantic = space_to_depth(mix_semantic, block)
 
             losses["semantic_source"] = semantic_loss(
-                sem_src, batch["source"]["semantic"],
-                batch["source"]["semantic_weights"],
+                sem_src, src_sem_gt, src_weights,
                 class_weights=class_weights,
                 ignore_labels=sem_ignore_classes,
-                top_k_percent_pixels=top_k)
+                top_k_percent_pixels=top_k,
+                dtype=photometric_dtype)
 
             if sem_mix is not None:
                 # ONE pooled flattened-top-k CE per strategy group (the
@@ -583,7 +603,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                                       dtype=jnp.float32),
                         class_weights=class_weights,
                         ignore_labels=sem_ignore_classes,
-                        top_k_percent_pixels=top_k)
+                        top_k_percent_pixels=top_k,
+                        dtype=photometric_dtype)
 
         if make_instance:
             variables = {"params": params["instance_head"],

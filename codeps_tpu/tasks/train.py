@@ -118,13 +118,31 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
 
         # ---------------- semantics
         if make_semantic:
+            # GUDA configs evaluate the head in block-phase space: the
+            # per-pixel CE and argmax run on the 6-d view, so no
+            # full-resolution 240-channel (or even 14-channel float)
+            # activation is ever materialized; only the int32 label
+            # maps get reshuffled (ops/guda_fusion.py).
+            use_phase = modules.semantic_head.use_guda_fusion
             sem_probs = modules.semantic_head.apply(
-                {"params": params["semantic_head"]}, feats_t)
+                {"params": params["semantic_head"]}, feats_t,
+                phase_space=use_phase)
+            sem_gt = batch["semantic"]
+            sem_weights = batch["semantic_weights"]
+            if use_phase:
+                from codeps_tpu.ops.guda_fusion import (depth_to_space,
+                                                        space_to_depth)
+                block = sem_gt.shape[1] // sem_probs.shape[1]
+                sem_gt = space_to_depth(sem_gt, block)
+                sem_weights = space_to_depth(sem_weights, block)
             losses["semantic"] = semantic_loss(
-                sem_probs, batch["semantic"], batch["semantic_weights"],
+                sem_probs, sem_gt, sem_weights,
                 class_weights=class_weights,
                 ignore_labels=sem_ignore_classes,
-                top_k_percent_pixels=top_k)
+                top_k_percent_pixels=top_k,
+                dtype=(jnp.bfloat16
+                       if cfg.tpu.compute_dtype == "bfloat16"
+                       else jnp.float32))
             # argmax with ignored classes suppressed
             # (semantic_seg.py:173-179).
             masked = sem_probs
@@ -132,9 +150,13 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
                 neg = jnp.full_like(sem_probs, -jnp.inf)
                 for cls in sem_ignore_classes:
                     masked = masked.at[..., cls].set(neg[..., cls])
-            preds["semantic"] = jnp.argmax(
+            sem_pred = jnp.argmax(
                 jax.lax.stop_gradient(masked), axis=-1).astype(jnp.int32)
-            preds["semantic_soft"] = sem_probs
+            if use_phase:
+                sem_pred = depth_to_space(sem_pred, block)
+            else:
+                preds["semantic_soft"] = sem_probs
+            preds["semantic"] = sem_pred
 
         # ---------------- instances
         if make_instance:
