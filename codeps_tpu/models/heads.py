@@ -84,6 +84,64 @@ class _ConvELU(nn.Module):
         return nn.elu(x)
 
 
+class _ConvParams(nn.Module):
+    """Bare 3x3 conv parameters with nn.Conv's tree layout/initializers,
+    for paths that consume the kernel through the phase machinery."""
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return kernel, bias
+
+
+class _PhaseConvELU(nn.Module):
+    """upsample_nearest_2x -> zero-padded conv3x3 -> ELU, computed in
+    BLOCK-PHASE space on the small grid (no full-resolution
+    intermediate; 4x output-lane packing). Param tree identical to
+    _ConvELU; depth_to_space of the output equals the full-res
+    formulation exactly (ops/guda_fusion.upsample_conv3x3_blockspace).
+
+    Parity: the reference decoder tails' upsample+conv stage
+    (models/depth_head.py:64-70, models/semantic_head.py:48-54).
+    """
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from codeps_tpu.ops.guda_fusion import upsample_conv3x3_blockspace
+        kernel, bias = _ConvParams(self.features, x.shape[-1],
+                                   name="conv")()
+        z = upsample_conv3x3_blockspace(
+            x, kernel.astype(self.dtype), 2, mode="nearest")
+        return nn.elu(z + bias.astype(self.dtype))
+
+
+class _BlockConv3x3(nn.Module):
+    """Full-resolution 3x3 conv applied to a block-phase-view tensor
+    (ops/guda_fusion.blockspace_conv3x3) — exact, with nn.Conv's param
+    tree. ``pad`` is the full-resolution padding semantics."""
+    features: int
+    pad: str = "zero"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        from codeps_tpu.ops.guda_fusion import blockspace_conv3x3
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, z.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        out = blockspace_conv3x3(z, kernel.astype(self.dtype),
+                                 pad=self.pad)
+        return out + bias.astype(self.dtype)
+
+
 def disp_to_depth(disp: jnp.ndarray, min_depth: float = 0.1,
                   max_depth: float = 100.0) -> jnp.ndarray:
     """Sigmoid disparity -> depth in [min_depth, max_depth].
@@ -110,20 +168,29 @@ class DepthHead(nn.Module):
 
     @nn.compact
     def __call__(self, in_feats: Sequence[jnp.ndarray]):
+        from codeps_tpu.ops.guda_fusion import depth_to_space
         x = in_feats[-1].astype(self.dtype)
-        for i in range(4, -1, -1):
+        for i in range(4, 0, -1):
             x = _ConvELU(_DEC_CHANNELS[i], dtype=self.dtype,
                          name=f"upconv_{i}_0")(x)
             x = upsample_nearest_2x(x)
-            if self.use_skips and i > 0:
+            if self.use_skips:
                 x = jnp.concatenate([x, in_feats[i - 1].astype(self.dtype)],
                                     axis=-1)
             x = _ConvELU(_DEC_CHANNELS[i], dtype=self.dtype,
                          name=f"upconv_{i}_1")(x)
 
-        disp = nn.Conv(1, (3, 3), padding="VALID", dtype=self.dtype,
-                       name="dispconv_0")(_reflect_pad(x))
-        disp = nn.sigmoid(disp.astype(jnp.float32))
+        # full-resolution tail in block-phase space: nearest-2x +
+        # upconv_0_1 as a half-grid phase conv, dispconv as a
+        # block-space conv — exact, and only the 1-channel disparity is
+        # ever materialized at full resolution (models/depth_head.py:64-74)
+        x = _ConvELU(_DEC_CHANNELS[0], dtype=self.dtype,
+                     name="upconv_0_0")(x)
+        z = _PhaseConvELU(_DEC_CHANNELS[0], dtype=self.dtype,
+                          name="upconv_0_1")(x)
+        disp6 = _BlockConv3x3(1, pad="reflect", dtype=self.dtype,
+                              name="dispconv_0")(z)
+        disp = nn.sigmoid(depth_to_space(disp6, 2).astype(jnp.float32))
         depth = disp_to_depth(disp)
         return depth, disp
 
@@ -230,6 +297,13 @@ class SemanticHead(nn.Module):
         for i in range(4, -1, -1):
             feat = _ConvELU(_DEC_CHANNELS[i], dtype=self.dtype,
                             name=f"upconv_{i}_0")(feat)
+            if i == 0 and phase_space:
+                # full-res stage in block-phase space (exact; the GUDA
+                # conv consumes the 6-d view via blockspace_conv3x3)
+                feat = _PhaseConvELU(_DEC_CHANNELS[0], dtype=self.dtype,
+                                     name="upconv_0_1")(feat)
+                guda_mem.append(feat)
+                continue
             feat = upsample_nearest_2x(feat)
             if self.use_skips and i > 0:
                 feat = jnp.concatenate(
@@ -240,7 +314,9 @@ class SemanticHead(nn.Module):
                 guda_mem.append(feat)
 
         if self.use_guda_fusion:
-            out_res = guda_mem[-1].shape[1:3]
+            last = guda_mem[-1]
+            out_res = ((last.shape[1] * 2, last.shape[2] * 2)
+                       if last.ndim == 6 else last.shape[1:3])
             sem = _GudaConv(self.num_classes, dtype=self.dtype,
                             name="semconv_guda")(
                 guda_mem, out_res,
@@ -252,6 +328,11 @@ class SemanticHead(nn.Module):
                           dtype=self.dtype,
                           name="semconv")(_reflect_pad(feat))
 
+        if phase_space:
+            # training-only view: stay in the compute dtype (the CE
+            # casts per the loss dtype policy anyway; materializing the
+            # f32 block-phase softmax costs a measurable extra pass)
+            return jax.nn.softmax(sem, axis=-1)
         return jax.nn.softmax(sem.astype(jnp.float32), axis=-1)
 
 
@@ -325,9 +406,13 @@ class _InstanceSubHead(nn.Module):
         x = _DepthwiseSeparable(32, dtype=self.dtype,
                                 axis_name=self.axis_name,
                                 name="depth_conv")(x, train)
-        x = upsample_bilinear_2x_align(x)
-        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
-                       name="conv")(x)
+        # 1x1 conv commutes with the (row-stochastic) bilinear
+        # upsample: conv first, then upsample the 1-2ch output — the
+        # 32-channel full-res intermediate of the reference formulation
+        # (instance_head.py:116-120) never materializes.
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                    name="conv")(x)
+        return upsample_bilinear_2x_align(x)
 
 
 class InstanceHead(nn.Module):

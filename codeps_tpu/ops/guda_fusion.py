@@ -51,31 +51,38 @@ from codeps_tpu.ops.resize import _linear_weight_matrix
 
 
 @functools.lru_cache(maxsize=None)
-def _phase_pattern(r: int) -> np.ndarray:
-    """T[d, t, n]: weight of input pixel (q + n - 1) in the bilinear
-    x r upsample at full-res position r*q + (t + d - 1), for tap offsets
-    d in {-1, 0, 1} (the 3x3 conv rows) and phases t in [0, r).
+def _phase_pattern(r: int, mode: str = "bilinear") -> np.ndarray:
+    """T[d, t, n]: weight of input pixel (q + n - 1) in the x r upsample
+    at full-res position r*q + (t + d - 1), for tap offsets d in
+    {-1, 0, 1} (the 3x3 conv rows) and phases t in [0, r).
 
-    Derived from torch's half-pixel mapping src = (p + 0.5)/r - 0.5;
+    bilinear: torch's half-pixel mapping src = (p + 0.5)/r - 0.5;
     out-of-range source indices clamp, which replicate padding of the
-    small grid reproduces exactly.
+    small grid reproduces exactly. nearest: torch's asymmetric
+    floor(p/r) (upsample_nearest_2x and friends); the u = -1 row maps
+    to input -1, which replicate padding also reproduces.
     """
     pattern = np.zeros((3, r, 3), np.float32)
     for d in (-1, 0, 1):
         for t in range(r):
             u = t + d
-            rel = (u + 0.5) / r - 0.5
-            n0 = int(np.floor(rel))
-            frac = rel - n0
-            pattern[d + 1, t, n0 + 1] += 1.0 - frac
-            pattern[d + 1, t, n0 + 2] += frac
+            if mode == "bilinear":
+                rel = (u + 0.5) / r - 0.5
+                n0 = int(np.floor(rel))
+                frac = rel - n0
+                pattern[d + 1, t, n0 + 1] += 1.0 - frac
+                pattern[d + 1, t, n0 + 2] += frac
+            else:
+                n = u // r
+                pattern[d + 1, t, n + 1] += 1.0
     return pattern
 
 
-def _phase_kernel(kernel: jnp.ndarray, r: int) -> jnp.ndarray:
+def _phase_kernel(kernel: jnp.ndarray, r: int,
+                  mode: str = "bilinear") -> jnp.ndarray:
     """(3, 3, C_in, C_out) -> (3, 3, C_in, r*r*C_out) phase-expanded
     kernel; channel order (ty, tx, c_out) matches NHWC depth_to_space."""
-    pattern = jnp.asarray(_phase_pattern(r), kernel.dtype)
+    pattern = jnp.asarray(_phase_pattern(r, mode), kernel.dtype)
     # K[ny, nx, i, ty, tx, o] = sum_{dy,dx} W[dy,dx,i,o] T[dy,ty,ny] T[dx,tx,nx]
     fused = jnp.einsum("deio,dta,esb->abitso", kernel, pattern, pattern,
                        precision=jax.lax.Precision.HIGHEST)
@@ -96,9 +103,10 @@ def _conv(x, kernel, padding):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
-def _phase_conv(x: jnp.ndarray, kernel: jnp.ndarray, r: int):
+def _phase_conv(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
+                mode: str = "bilinear"):
     """Main phase term: exact everywhere except the 1px output ring."""
-    fused_kernel = _phase_kernel(kernel, r)
+    fused_kernel = _phase_kernel(kernel, r, mode)
     xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     z = _conv(xpad, fused_kernel, "VALID")
     return _depth_to_space(z, r, kernel.shape[3])
@@ -108,22 +116,40 @@ def _hp():
     return jax.lax.Precision.HIGHEST
 
 
+@functools.lru_cache(maxsize=None)
+def _nearest_weight_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) 0/1 matrix of torch's asymmetric nearest
+    mapping src = floor(p * in / out)."""
+    weights = np.zeros((out_size, in_size), dtype=np.float32)
+    for p in range(out_size):
+        weights[p, min(p * in_size // out_size, in_size - 1)] = 1.0
+    return weights
+
+
+def _line_weight_matrix(in_size: int, out_size: int,
+                        mode: str) -> np.ndarray:
+    if mode == "bilinear":
+        return _linear_weight_matrix(in_size, out_size, False)
+    return _nearest_weight_matrix(in_size, out_size)
+
+
 def _border_excess(x: jnp.ndarray, kernel: jnp.ndarray,
-                   out_res: tuple[int, int]):
+                   out_res: tuple[int, int], mode: str = "bilinear"):
     """The phase-vs-true difference on the output ring.
 
-    The bilinear extension rows/cols the phase conv consumed beyond the
+    The upsample extension rows/cols the phase conv consumed beyond the
     image are: y_ext[-1] = Uh(x[0]) (the first input row, horizontally
     upsampled with clamp), y_ext[H] = Uh(x[h-1]), and analogously the
-    columns; their own corner extensions replicate. Returns
-    (top, bottom, left, right, corners) with
-    top/bottom (B, 1, W_out, C_out), left/right (B, H_out, 1, C_out),
-    corners (B, 2, 2, C_out) of inclusion-exclusion add-backs.
+    columns; their own corner extensions replicate. Holds for bilinear
+    (half-pixel clamp) and nearest (floor clamp) alike — both extend
+    with the edge row/col. Returns (top, bottom, left, right, corners)
+    with top/bottom (B, 1, W_out, C_out), left/right (B, H_out, 1,
+    C_out), corners (B, 2, 2, C_out) of inclusion-exclusion add-backs.
     """
     out_h, out_w = out_res
     h, w = x.shape[1:3]
-    wy = jnp.asarray(_linear_weight_matrix(h, out_h, False), x.dtype)
-    wx = jnp.asarray(_linear_weight_matrix(w, out_w, False), x.dtype)
+    wy = jnp.asarray(_line_weight_matrix(h, out_h, mode), x.dtype)
+    wx = jnp.asarray(_line_weight_matrix(w, out_w, mode), x.dtype)
 
     # extension lines in full resolution
     top_line = jnp.einsum("pw,bwc->bpc", wx, x[:, 0],
@@ -274,6 +300,122 @@ def _apply_excess_blockspace(z: jnp.ndarray, excess) -> jnp.ndarray:
     return z
 
 
+def upsample_conv3x3_blockspace(x: jnp.ndarray, kernel: jnp.ndarray,
+                                r: int, mode: str = "bilinear"
+                                ) -> jnp.ndarray:
+    """conv3x3(zero-pad)(upsample_x_r(x)) in the BLOCK-PHASE view:
+    returns (B, H, W, r, r, C_out); depth_to_space of it equals the
+    full-resolution formulation exactly. The conv runs on the small
+    grid with r*r*C_out output channels (MXU lane packing) and no
+    full-resolution intermediate is materialized.
+
+    mode="nearest" covers the decoder tails (upsample_nearest_2x +
+    zero-padded conv3x3, models/depth_head.py:64-70 stage 0);
+    mode="bilinear" the GUDA per-scale terms.
+    """
+    fused_kernel = _phase_kernel(kernel, r, mode)
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    raw = _conv(xpad, fused_kernel, "VALID")
+    b, h, w = raw.shape[:3]
+    z = raw.reshape(b, h, w, r, r, kernel.shape[3])
+    excess = _border_excess(x, kernel,
+                            (h * r, w * r), mode)
+    return _apply_excess_blockspace(z, excess)
+
+
+@functools.lru_cache(maxsize=None)
+def _blockconv_select(block: int) -> np.ndarray:
+    """S[t, delta, p, d] = 1 iff output phase t's kernel tap d (of 3)
+    reads phase p of the odd-shifted block at offset delta in {0, 1}.
+
+    Odd-shift grid: block a covers full-res rows block*a - 1 ..
+    block*a + block - 2. Output row block*q + t reads rows
+    block*q + t - 1 + d; with u = t - 1 + d in [-1, block], that is
+    offset 0 phase u+1 when u <= block-2, else offset 1 phase
+    u + 1 - block. Kernel extent over blocks is exactly 2 for any
+    block >= 2.
+    """
+    sel = np.zeros((block, 2, block, 3), np.float32)
+    for t in range(block):
+        for d in range(3):
+            u = t - 1 + d
+            if u <= block - 2:
+                sel[t, 0, u + 1, d] = 1.0
+            else:
+                sel[t, 1, u + 1 - block, d] = 1.0
+    return sel
+
+
+def _oddshift(z: jnp.ndarray, axis_block: int, axis_phase: int,
+              pad: str) -> jnp.ndarray:
+    """(..., hb, ..., blk, ...) -> (..., hb+1, ..., blk, ...): the
+    odd-shifted block decomposition (rows block*a - 1 .. block*a +
+    block - 2) assembled from block-axis slices; boundary rows -1 and
+    H..H+blk-3 filled per ``pad`` ("zero" any block, "reflect"
+    block 2 only: row -1 := row 1, row H := row H-2)."""
+    blk = z.shape[axis_phase]
+
+    def take(axis, sl):
+        idx = [slice(None)] * z.ndim
+        idx[axis] = sl
+        return tuple(idx)
+
+    last_phase = z[take(axis_phase, slice(blk - 1, blk))]
+    first_phases = z[take(axis_phase, slice(0, blk - 1))]
+    if pad == "zero":
+        top = jnp.zeros_like(last_phase[take(axis_block, slice(0, 1))])
+        bot = jnp.zeros_like(first_phases[take(axis_block, slice(0, 1))])
+    elif pad == "reflect":
+        assert blk == 2, "reflect odd-shift implemented for block=2"
+        # full-res row -1 reflects to row 1 = block 0 phase 1;
+        # row H reflects to row H-2 = block hb-1 phase 0
+        top = z[take(axis_block, slice(0, 1))][take(axis_phase,
+                                                    slice(1, 2))]
+        bot = z[take(axis_block, slice(-1, None))][take(axis_phase,
+                                                        slice(0, 1))]
+    else:
+        raise ValueError(pad)
+    p0 = jnp.concatenate([top, last_phase], axis=axis_block)
+    prest = jnp.concatenate([first_phases, bot], axis=axis_block)
+    return jnp.concatenate([p0, prest], axis=axis_phase)
+
+
+def blockspace_conv3x3(z: jnp.ndarray, kernel: jnp.ndarray,
+                       pad: str = "zero") -> jnp.ndarray:
+    """Full-resolution 3x3 conv evaluated directly in the block-phase
+    view: z (B, hb, wb, blk, blk, C_in) -> (B, hb, wb, blk, blk,
+    C_out), exact (== conv3x3(pad, depth_to_space(z))). The conv runs
+    at block resolution with blk^2-packed channels: a 2x2 block-kernel
+    over the odd-shifted grid with the (3,3) kernel expanded through
+    the phase-selection pattern."""
+    b, hb, wb, blk, _, c_in = z.shape
+    c_out = kernel.shape[3]
+    zx = _oddshift(z, 1, 3, pad)
+    zx = _oddshift(zx, 2, 4, pad)
+    sel = jnp.asarray(_blockconv_select(blk), kernel.dtype)
+    # E[da', db', pa, pb, i, ta, tb, o]
+    expanded = jnp.einsum("deio,uavd,wbxe->abvxiuwo", kernel, sel, sel,
+                          precision=_hp())
+    expanded = expanded.reshape(2, 2, blk * blk * c_in,
+                                blk * blk * c_out)
+    flat = zx.reshape(b, hb + 1, wb + 1, blk * blk * c_in)
+    out = _conv(flat, expanded, "VALID")
+    return out.reshape(b, hb, wb, blk, blk, c_out)
+
+
+def regroup_block(z: jnp.ndarray, big: int) -> jnp.ndarray:
+    """Block-phase view of factor blk -> factor ``big`` (a multiple):
+    (B, hb, wb, blk, blk, C) -> (B, hb*blk/big, ..., big, big, C).
+    Pure reshuffle: full-res row blk*(k*Q + j) + t = big*Q +
+    (blk*j + t) with k = big // blk."""
+    b, hb, wb, blk, _, c = z.shape
+    k = big // blk
+    hb2, wb2 = hb // k, wb // k
+    z = z.reshape(b, hb2, k, wb2, k, blk, blk, c)
+    z = z.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return z.reshape(b, hb2, wb2, big, big, c)
+
+
 def guda_fused_semconv_blockspace(feats, kernel: jnp.ndarray,
                                   out_res: tuple[int, int]) -> jnp.ndarray:
     """The GUDA fusion conv in BLOCK-PHASE space: returns
@@ -298,6 +440,13 @@ def guda_fused_semconv_blockspace(feats, kernel: jnp.ndarray,
         c = feat.shape[-1]
         w_s = kernel[:, :, offset:offset + c, :]
         offset += c
+        if feat.ndim == 6:
+            # full-res scale already in block-phase view: conv it there
+            # (exact zero-pad semantics) and regroup to the common block
+            z2 = blockspace_conv3x3(feat, w_s, pad="zero")
+            z = regroup_block(z2, block)
+            z_sum = z if z_sum is None else z_sum + z
+            continue
         h, w = feat.shape[1:3]
         if (h, w) == (out_h, out_w):
             term = _conv(feat, w_s, [(1, 1), (1, 1)])   # exact already

@@ -334,6 +334,94 @@ def test_ema_blends_once_per_frame_at_n_steps(shared_step):
     assert max(jax.tree.leaves(err)) == 0.0
 
 
+def test_sharded_adapt_step_published_config():
+    """Sharded == single-device for the step the published configs RUN:
+    fused cut-mixup + in-step teacher eval (AdaptationRunner's
+    executable). Batch-1 target replicated; source/replay/mixup sharded.
+    Tiny shapes (HT x WT everywhere) keep the two 1-core CPU compiles
+    tractable; same-resolution domains still take the merged
+    target+replay and batched source+mixup paths."""
+    from codeps_tpu.parallel import make_mesh, replicate, shard_batch
+    from codeps_tpu.tasks.adapt import build_eval_forward
+
+    cfg = _cfg()
+    frozen = ("backbone_po_depth", "instance_head")
+    modules, state, tx = _modules_state(cfg, frozen)
+    eval_forward = build_eval_forward(modules, cfg, THINGS)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=8, fused_cut_mixup=True, donate=False,
+        eval_forward=eval_forward)
+
+    num = 8
+    rng = np.random.default_rng(3)
+    batch = _adapt_batch(num_source=num, num_replay=num, num_mixup=0)
+    batch.pop("mixup")
+    # source at target resolution so mixup (target-res) shares shapes
+    batch["source"] = {
+        "frames": jnp.asarray(rng.uniform(
+            0, 1, (num, 3, HT, WT, 3)).astype(np.float32)),
+        "camera": jnp.tile(jnp.asarray(
+            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num, 1)),
+        "semantic": jnp.asarray(rng.integers(
+            0, NC, (num, HT, WT)).astype(np.int32)),
+        "semantic_weights": jnp.ones((num, HT, WT), jnp.float32),
+        "center": jnp.asarray(rng.uniform(
+            0, 1, (num, HT, WT, 1)).astype(np.float32)),
+        "offset": jnp.asarray(rng.normal(
+            0, 4, (num, HT, WT, 2)).astype(np.float32)),
+    }
+    batch["mixup"] = {
+        "rgb_src": jnp.asarray(rng.uniform(
+            0, 1, (num, HT, WT, 3)).astype(np.float32)),
+        "semantic_src": jnp.asarray(rng.integers(
+            0, NC, (num, HT, WT)).astype(np.int32)),
+        "rgb_tgt": jnp.asarray(rng.uniform(
+            0, 1, (num, HT, WT, 3)).astype(np.float32)),
+        "intr_src": jnp.tile(jnp.asarray(
+            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num, 1)),
+        "intr_tgt": jnp.tile(jnp.asarray(
+            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num, 1)),
+        "cut_cells": jnp.asarray(
+            rng.integers(0, 8, (num, 2)).astype(np.int32)),
+    }
+    batch["eval_gt"] = {
+        "semantic": jnp.asarray(rng.integers(
+            0, NC, (1, HT, WT)).astype(np.int32)),
+        "depth_gt": jnp.asarray(rng.uniform(
+            1, 60, (1, HT, WT)).astype(np.float32)),
+    }
+    batch["do_ema"] = np.asarray(True)
+
+    new_state, metrics, feats, results, stats = step(state, batch)
+    loss_single = float(metrics["loss_total"])
+
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+    batch_s = dict(batch)
+    batch_s["target"] = replicate(batch["target"], mesh)
+    batch_s["eval_gt"] = replicate(batch["eval_gt"], mesh)
+    for key in ("source", "target_replay", "mixup"):
+        batch_s[key] = shard_batch(batch[key], mesh)
+
+    new_state_s, metrics_s, feats_s, results_s, stats_s = step(state_r,
+                                                               batch_s)
+    np.testing.assert_allclose(float(metrics_s["loss_total"]),
+                               loss_single, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics_s["semantic_cut_mixup"]),
+        float(metrics["semantic_cut_mixup"]), rtol=1e-5)
+    # updated params equal; in-step eval stats equal
+    delta = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        new_state.params["semantic_head"],
+        new_state_s.params["semantic_head"])
+    assert max(jax.tree.leaves(delta)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(stats_s["sem_conf"]),
+                                  np.asarray(stats["sem_conf"]))
+
+
 def test_sharded_adapt_step_over_mesh():
     """Data-parallel adaptation over the 8-device CPU mesh.
 

@@ -150,3 +150,68 @@ def test_guda_fused_semconv_gradients_match():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_nearest_phase_conv_matches_reference():
+    """upsample_conv3x3_blockspace(mode=nearest) == nearest-2x upsample
+    -> zero-padded conv3x3 (the decoder-tail stage)."""
+    from codeps_tpu.ops.guda_fusion import (depth_to_space,
+                                            upsample_conv3x3_blockspace)
+    from codeps_tpu.ops.resize import upsample_nearest_2x
+    x = jnp.asarray(RNG.normal(0, 1, (2, 9, 13, 16)).astype(np.float32))
+    kernel = jnp.asarray(
+        RNG.normal(0, 0.2, (3, 3, 16, 16)).astype(np.float32))
+    z = upsample_conv3x3_blockspace(x, kernel, 2, mode="nearest")
+    assert z.shape == (2, 9, 13, 2, 2, 16)
+    want = jax.lax.conv_general_dilated(
+        upsample_nearest_2x(x), kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(depth_to_space(z, 2)),
+                               np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("pad", ["zero", "reflect"])
+def test_blockspace_conv3x3_matches_fullres(pad):
+    from codeps_tpu.ops.guda_fusion import (blockspace_conv3x3,
+                                            depth_to_space, space_to_depth)
+    x = jnp.asarray(RNG.normal(0, 1, (2, 10, 14, 16)).astype(np.float32))
+    kernel = jnp.asarray(
+        RNG.normal(0, 0.2, (3, 3, 16, 3)).astype(np.float32))
+    z = blockspace_conv3x3(space_to_depth(x, 2), kernel, pad=pad)
+    if pad == "reflect":
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        want = jax.lax.conv_general_dilated(
+            xp, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        want = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(depth_to_space(z, 2)),
+                               np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_blockspace_conv3x3_gradients_match():
+    from codeps_tpu.ops.guda_fusion import (blockspace_conv3x3,
+                                            depth_to_space, space_to_depth)
+    x = jnp.asarray(RNG.normal(0, 1, (1, 6, 8, 8)).astype(np.float32))
+    kernel = jnp.asarray(
+        RNG.normal(0, 0.2, (3, 3, 8, 4)).astype(np.float32))
+
+    def loss_block(x, kernel):
+        z = blockspace_conv3x3(space_to_depth(x, 2), kernel, pad="reflect")
+        return jnp.sum(jnp.sin(depth_to_space(z, 2)))
+
+    def loss_ref(x, kernel):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        out = jax.lax.conv_general_dilated(
+            xp, kernel, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.sin(out))
+
+    v1, g1 = jax.value_and_grad(loss_block, argnums=(0, 1))(x, kernel)
+    v2, g2 = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, kernel)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
