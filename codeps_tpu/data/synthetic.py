@@ -15,7 +15,19 @@ import numpy as np
 from PIL import Image
 
 
-def _random_rgb(rng, width, height):
+def _random_rgb(rng, width, height, content: str = "noise"):
+    if content == "smooth":
+        # Compressible gradient + a few random blobs: PNG encode/decode
+        # cost stays pixel-count-proportional (what feed-rate runs care
+        # about) without multi-MB incompressible noise files on disk.
+        yy, xx = np.mgrid[0:height, 0:width]
+        base = ((xx * 255) // max(width, 1)).astype(np.uint8)
+        img = np.stack([base, np.flipud(base), base // 2], axis=-1)
+        for _ in range(4):
+            y = int(rng.integers(0, max(height - 8, 1)))
+            x = int(rng.integers(0, max(width - 8, 1)))
+            img[y:y + 8, x:x + 8] = rng.integers(0, 255, 3, dtype=np.uint8)
+        return Image.fromarray(img, "RGB")
     return Image.fromarray(
         rng.integers(0, 255, (height, width, 3), dtype=np.uint8), "RGB")
 
@@ -43,8 +55,14 @@ def _blocky_labels(rng, width, height, raw_classes, num_instances,
 
 def make_cityscapes_tree(root: Path, num_frames: int = 3, width: int = 96,
                          height: int = 64, split: str = "train",
-                         seed: int = 0, with_disparity: bool = True) -> Path:
-    """Create a minimal Cityscapes tree (city 'synth', one sequence)."""
+                         seed: int = 0, with_disparity: bool = True,
+                         content: str = "noise") -> Path:
+    """Create a minimal Cityscapes tree (city 'synth', one sequence).
+
+    ``content="smooth"`` writes compressible gradient frames — use for
+    full-resolution (2048x1024) trees where noise PNGs would be ~6 MB
+    each (feed-rate measurement, scripts/measure_feed_rate.py).
+    """
     rng = np.random.default_rng(seed)
     root = Path(root)
     city = "synth"
@@ -63,7 +81,7 @@ def make_cityscapes_tree(root: Path, num_frames: int = 3, width: int = 96,
             rgb_path = rgb_dir / \
                 f"{city}_{seq}_{number:06d}_leftImg8bit.png"
             if not rgb_path.exists():
-                _random_rgb(rng, width, height).save(rgb_path)
+                _random_rgb(rng, width, height, content).save(rgb_path)
             if with_disparity:
                 disp_path = disp_dir / \
                     f"{city}_{seq}_{number:06d}_disparity.png"
