@@ -283,9 +283,14 @@ def _run_mode(mode):
             return state, time.perf_counter() - start
 
         state, _ = timed_frames(state, 2, 0)
+        profile_dir = os.environ.get("BENCH_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         state, t_short = timed_frames(state, 3, 100)
         state, t_long = timed_frames(state, 3 + num_steps, 200)
         elapsed = max(t_long - t_short, 1e-6)
+        if profile_dir:
+            jax.profiler.stop_trace()
         metric_name = "adapt_frames_per_sec"
     else:
         def timed_steps(state, n):

@@ -58,22 +58,36 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
             iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
             out = _gather_2d(img, iy, ix)
             return out * inside[..., None].astype(out.dtype)
+        # Packed taps for zeros padding too (see the border-mode note on
+        # TPU gather economics below: 4 gathers -> 1). The tap table is
+        # built over x0 in [-1, w-1] / y0 in [-1, h-1] (one extra
+        # top/left row, edge-replicated) so every in-range TAP reads its
+        # true pixel even when the anchor (x0, y0) itself is outside;
+        # out-of-range taps read a replicated neighbor and are zeroed
+        # through their weight, exactly like the 4-gather formulation
+        # (bit-identical: same per-tap multiply order, 0 * finite == 0).
         x0 = jnp.floor(x)
         y0 = jnp.floor(y)
         wx = (x - x0)[..., None]
         wy = (y - y0)[..., None]
+        jj = (jnp.clip(y0, -1, h - 1) + 1).astype(jnp.int32)  # [0, h]
+        ii = (jnp.clip(x0, -1, w - 1) + 1).astype(jnp.int32)  # [0, w]
+        padded = jnp.concatenate([img[:, :1], img], axis=1)
+        padded = jnp.concatenate([padded[:, :, :1], padded], axis=2)
+        taps = _gather_2d(_pack_taps(padded), jj, ii)  # (B, Ho, Wo, 4C)
+        c = img.shape[-1]
+        v00, v01, v10, v11 = (taps[..., :c], taps[..., c:2 * c],
+                              taps[..., 2 * c:3 * c], taps[..., 3 * c:])
         vals = 0.0
-        for dy, wgt_y in ((0, 1.0 - wy), (1, wy)):
-            for dx, wgt_x in ((0, 1.0 - wx), (1, wx)):
-                ix = x0 + dx
-                iy = y0 + dy
-                inside = ((ix >= 0) & (ix <= w - 1)
-                          & (iy >= 0) & (iy <= h - 1))
-                gi = _gather_2d(img,
-                                jnp.clip(iy, 0, h - 1).astype(jnp.int32),
-                                jnp.clip(ix, 0, w - 1).astype(jnp.int32))
-                vals = vals + gi * wgt_x * wgt_y \
-                    * inside[..., None].astype(gi.dtype)
+        for gi, dy, dx, wgt_y, wgt_x in (
+                (v00, 0, 0, 1.0 - wy, 1.0 - wx),
+                (v01, 0, 1, 1.0 - wy, wx),
+                (v10, 1, 0, wy, 1.0 - wx),
+                (v11, 1, 1, wy, wx)):
+            inside = ((x0 + dx >= 0) & (x0 + dx <= w - 1)
+                      & (y0 + dy >= 0) & (y0 + dy <= h - 1))
+            vals = vals + gi * wgt_x * wgt_y \
+                * inside[..., None].astype(gi.dtype)
         return vals
 
     if padding_mode != "border":

@@ -99,12 +99,25 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
         grid = c2c_grid(intr_tgt, intr_src, tgt_size, src_size)
         rgb_w = grid_sample(rgb_tgt, grid, mode="bilinear",
                             padding_mode="zeros")
-        inst_w = grid_sample(instance.astype(jnp.float32)[..., None], grid,
-                             mode="nearest",
-                             padding_mode="zeros")[..., 0].astype(jnp.int32)
-        sem_w = grid_sample(sem_pred.astype(jnp.float32)[..., None], grid,
-                            mode="nearest",
-                            padding_mode="border")[..., 0].astype(jnp.int32)
+        # instance (nearest+zeros) and semantic (nearest+border) share
+        # the grid and the clipped nearest index — TPU gathers serialize
+        # per ROW (~width-independent), so pack both into ONE 2-channel
+        # gather and recover zeros-padding by masking the instance
+        # channel with the insideness of the UNCLIPPED rounded index
+        # (identical to grid_sample's nearest+zeros arithmetic).
+        from codeps_tpu.ops.grid_sample import _unnormalize
+        th, tw = tgt_size
+        ux = _unnormalize(grid[..., 0], tw)
+        uy = _unnormalize(grid[..., 1], th)
+        rx = jnp.floor(ux + 0.5)
+        ry = jnp.floor(uy + 0.5)
+        inside = ((rx >= 0) & (rx <= tw - 1) & (ry >= 0) & (ry <= th - 1))
+        pair = jnp.stack([instance.astype(jnp.float32),
+                          sem_pred.astype(jnp.float32)], axis=-1)
+        pair_w = grid_sample(pair, grid, mode="nearest",
+                             padding_mode="border")
+        inst_w = (pair_w[..., 0] * inside).astype(jnp.int32)
+        sem_w = pair_w[..., 1].astype(jnp.int32)
         return rgb_w, sem_w, inst_w
 
     return jax.jit(prep)

@@ -345,6 +345,15 @@ def test_sharded_adapt_step_published_config():
     from codeps_tpu.tasks.adapt import build_eval_forward
 
     cfg = _cfg()
+    # f32 per-pixel loss math for a SHARP equality: with the default
+    # bf16 photometric dtype the pooled mixup CE's top_k ranks bf16
+    # values with massive ties, so a 1-ulp FMA/fusion difference
+    # between the single-device and SPMD compiles swaps boundary
+    # pixels across a bf16 tie cliff (~3e-3 at loss~2.7) and shifts
+    # the mean by ~1e-4 — cross-compile noise, not a sharding bug.
+    # bf16 execution of this exact step variant stays covered by the
+    # driver dryrun (__graft_entry__) and the TPU bench loop mode.
+    cfg.tpu.compute_dtype = "float32"
     frozen = ("backbone_po_depth", "instance_head")
     modules, state, tx = _modules_state(cfg, frozen)
     eval_forward = build_eval_forward(modules, cfg, THINGS)
@@ -412,12 +421,24 @@ def test_sharded_adapt_step_published_config():
     np.testing.assert_allclose(
         float(metrics_s["semantic_cut_mixup"]),
         float(metrics["semantic_cut_mixup"]), rtol=1e-5)
-    # updated params equal; in-step eval stats equal
-    delta = jax.tree.map(
-        lambda a, b: float(jnp.abs(a - b).max()),
-        new_state.params["semantic_head"],
-        new_state_s.params["semantic_head"])
-    assert max(jax.tree.leaves(delta)) < 1e-5
+    # Updated params equal up to the Adam step-1 sign-flip ceiling
+    # (scripts/parity_adapt.py uses the same bound): the first
+    # bias-corrected update is exactly +-lr*sign(g) per component, so
+    # ulp-level cross-compile gradient noise on |g|~0 components shows
+    # as 2*lr while any systematic sharding bug (wrong psum/mean
+    # scale) flips a large fraction of signs. Loss equality above
+    # catches magnitude bugs that step-1 Adam normalizes away.
+    lr = cfg.train.optimizer.learning_rate
+    flat = np.concatenate([
+        np.abs(np.asarray(a - b)).ravel() for a, b in zip(
+            jax.tree.leaves(new_state.params["semantic_head"]),
+            jax.tree.leaves(new_state_s.params["semantic_head"]))])
+    assert flat.max() <= 2.2 * lr
+    # Flip fraction: two INDEPENDENT XLA compiles (SPMD vs single) FMA/
+    # fuse differently, so |g|~ulp components flip sign more often than
+    # parity_adapt's same-program torch-vs-jax runs (measured ~0.6%
+    # here); a routing bug would flip a large fraction.
+    assert (flat > 1e-5).mean() < 0.02
     np.testing.assert_array_equal(np.asarray(stats_s["sem_conf"]),
                                   np.asarray(stats["sem_conf"]))
 

@@ -136,18 +136,26 @@ def test_warp_coordinates_with_object_motion_matches_reference():
     np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
-def test_grid_sample_matches_torch(mode):
+def test_grid_sample_matches_torch(mode, padding_mode):
     batch, height, width, chans = 2, 9, 13, 3
     img = RNG.uniform(0, 1, (batch, chans, height, width)).astype(np.float32)
     grid = RNG.uniform(-1.3, 1.3, (batch, height, width, 2)).astype(np.float32)
+    # Hit anchor edge cases exactly: x0 = -1 (in-range right tap only),
+    # x0 = w-1 / y0 = h-1 (in-range left tap only), far out-of-range.
+    grid[0, 0, 0] = [-1.0 - 0.7 * 2.0 / (width - 1), 0.0]
+    grid[0, 0, 1] = [1.0, -1.0 - 0.3 * 2.0 / (height - 1)]
+    grid[0, 0, 2] = [1.0 + 0.4 * 2.0 / (width - 1), 1.0]
+    grid[0, 0, 3] = [-3.0, 2.5]
 
     ref = torch.nn.functional.grid_sample(
         torch.tensor(img), torch.tensor(grid), mode=mode,
-        padding_mode="border", align_corners=True).numpy()
+        padding_mode=padding_mode, align_corners=True).numpy()
 
     ours = grid_sample(jnp.asarray(img.transpose(0, 2, 3, 1)),
-                       jnp.asarray(grid), mode=mode)
+                       jnp.asarray(grid), mode=mode,
+                       padding_mode=padding_mode)
     np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2), ref,
                                rtol=1e-5, atol=1e-5)
 
