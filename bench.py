@@ -62,10 +62,19 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
     train_cfg.model.merge_from_dict(cfg.model.to_dict())
     train_cfg.semantics.class_weights = [1.0] * num_classes
     cfg = train_cfg
-    # ResNet-101 fwd+bwd at batch 6 x 512x1024 needs remat on 16 GB chips
+    # ResNet-101 fwd+bwd at batch 6 x 512x1024 needs remat on 16 GB chips.
+    # BENCH_TRAIN_REMAT: "all" (default), "none", or a comma list of
+    # encoder stage numbers, e.g. "1,2" (remat only the high-res stages).
+    remat_env = os.environ.get("BENCH_TRAIN_REMAT", "all")
+    if remat_env == "all":
+        remat = True
+    elif remat_env == "none":
+        remat = False
+    else:
+        remat = tuple(int(s) for s in remat_env.split(",") if s)
     import jax.numpy as _jnp
     modules = build_modules(cfg, num_classes, dtype=_jnp.bfloat16,
-                            remat=True)
+                            remat=remat)
     params, stats = init_params(jax.random.PRNGKey(0), modules,
                                 (height, width))
 

@@ -49,7 +49,7 @@ class CodepsModules:
 def build_modules(cfg, num_classes: int,
                   dtype: Any = jnp.float32,
                   axis_name: str | None = None,
-                  remat: bool | None = None) -> CodepsModules:
+                  remat: bool | tuple | list | None = None) -> CodepsModules:
     """Construct module definitions from a config tree.
 
     Mirrors gen_models' wiring (codeps/model_setup.py:36-147): the pose
@@ -61,7 +61,9 @@ def build_modules(cfg, num_classes: int,
     make_semantic = cfg.model.make_semantic
     make_instance = cfg.model.make_instance
     if remat is None:
-        remat = bool(cfg.get("tpu", {}) and cfg.tpu.get("remat", False))
+        tpu_cfg = cfg.get("tpu", {})
+        # bool (all stages) or a list of encoder stage numbers in 1..4
+        remat = tpu_cfg.get("remat", False) if tpu_cfg else False
 
     backbone = make_encoder(cfg.model.po_depth_net.params.nof_layers,
                             dtype=dtype, axis_name=axis_name, remat=remat)

@@ -121,10 +121,14 @@ class ResNetEncoder(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     # Rematerialize residual blocks in the backward pass: trades ~33%
-    # extra forward FLOPs for O(depth) less activation memory — required
+    # extra forward FLOPs for O(depth) less activation memory — used
     # to fit the train_cityscapes shape (batch 6 x 512x1024, ResNet-101
-    # fwd+bwd) into a 16 GB v5e chip.
-    remat: bool = False
+    # fwd+bwd) into a 16 GB v5e chip. Either a bool (all stages) or a
+    # tuple of stage numbers in 1..4 (remat only those stages): the
+    # early high-resolution stages hold most of the activation bytes,
+    # so remat=(1, 2) buys most of the memory for a fraction of the
+    # recompute FLOPs.
+    remat: bool | tuple = False
 
     @property
     def num_ch_enc(self) -> np.ndarray:
@@ -137,9 +141,15 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> list[jnp.ndarray]:
         block_kind, stage_sizes = _STAGES[self.num_layers]
         block = _BasicBlock if block_kind == "basic" else _Bottleneck
-        if self.remat:
+        if self.remat is True:
+            remat_stages = (1, 2, 3, 4)
+        elif self.remat:
+            remat_stages = tuple(int(s) for s in self.remat)
+        else:
+            remat_stages = ()
+        if remat_stages:
             # static_argnums: (self, x, train) -> train at index 2
-            block = nn.remat(block, static_argnums=(2,))
+            remat_block = nn.remat(block, static_argnums=(2,))
         expansion = 1 if block_kind == "basic" else 4
 
         x = x.astype(self.dtype)
@@ -157,14 +167,17 @@ class ResNetEncoder(nn.Module):
         for stage, num_blocks in enumerate(stage_sizes):
             planes = 64 * (2 ** stage)
             stride = 1 if stage == 0 else 2
+            stage_block = (remat_block if (stage + 1) in remat_stages
+                           else block)
             for i in range(num_blocks):
                 blk_stride = stride if i == 0 else 1
                 needs_down = (i == 0 and
                               (blk_stride != 1 or
                                in_planes != planes * expansion))
-                x = block(planes, blk_stride, needs_down, dtype=self.dtype,
-                          axis_name=self.axis_name,
-                          name=f"layer{stage + 1}_{i}")(x, train)
+                x = stage_block(planes, blk_stride, needs_down,
+                                dtype=self.dtype,
+                                axis_name=self.axis_name,
+                                name=f"layer{stage + 1}_{i}")(x, train)
                 in_planes = planes * expansion
             features.append(x)
 
@@ -174,13 +187,15 @@ class ResNetEncoder(nn.Module):
 def make_encoder(num_layers: int, num_input_images: int = 1,
                  num_channels_input: int = 3, dtype: Any = jnp.float32,
                  axis_name: str | None = None,
-                 remat: bool = False) -> ResNetEncoder:
+                 remat: bool | tuple | list = False) -> ResNetEncoder:
     assert num_layers in _STAGES, f"Unsupported ResNet depth: {num_layers}"
     if num_input_images > 1 or num_channels_input != 3:
         # Reference restricts multi-image encoders to 18/50
         # (models/resnet_encoder.py:54); we keep the same contract.
         assert num_layers in (18, 50), \
             "Multi-image input requires ResNet-18 or ResNet-50"
+    if not isinstance(remat, bool):
+        remat = tuple(int(s) for s in remat)
     return ResNetEncoder(num_layers=num_layers,
                          num_input_images=num_input_images,
                          num_channels_input=num_channels_input,
