@@ -32,6 +32,13 @@ def parse_args():
                         help="Pretrained weights, 'module:path' syntax "
                              "supported (io_utils.py:52-73); .pth files "
                              "are converted on the fly")
+    parser.add_argument("--eval", action="store_true",
+                        help="Validate the checkpoint once and exit "
+                             "(train_codeps.py:32-33,483-495)")
+    parser.add_argument("--freeze_modules", nargs="+", default=[],
+                        help="Module-name prefixes to freeze during "
+                             "training (train_codeps.py:43-44; prefix "
+                             "semantics of train_utils.py:229-235)")
     parser.add_argument("--mode", default="train")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--max_steps", type=int, default=None,
@@ -142,7 +149,13 @@ def main():
 
     steps_per_epoch = max(len(train_loader), 1)
     schedule = build_schedule(cfg, steps_per_epoch)
-    tx = build_optimizer(cfg, schedule)
+    # Prefix-match like the reference (train_utils.py:229-235 freezes
+    # every param whose name starts with the given module string).
+    frozen = [m for m in params
+              if any(m.startswith(f) for f in args.freeze_modules)]
+    if frozen:
+        log_info("Frozen modules: %s", frozen)
+    tx = build_optimizer(cfg, schedule, frozen_modules=frozen)
     state = TrainState(params=params, batch_stats=batch_stats,
                        opt_state=tx.init(params),
                        step=jnp.zeros((), jnp.int32),
@@ -164,8 +177,11 @@ def main():
         # full training-state round-trip: optimizer moments + schedule
         # counts, step RNG, global_step, meters (the reference restores
         # optimizer/scheduler/RNG/meters/epoch —
-        # io_utils/io_utils.py:76-88, scripts/train_codeps.py:502-543)
-        opt_state = restore_opt_state(checkpoint, state.opt_state)
+        # io_utils/io_utils.py:76-88, scripts/train_codeps.py:502-543).
+        # --eval needs params/stats only (and the checkpoint's optimizer
+        # tree shape depends on its run's freeze flags).
+        opt_state = (None if args.eval
+                     else restore_opt_state(checkpoint, state.opt_state))
         rng = restore_rng(checkpoint)
         global_step = int(checkpoint["training_meta"].get(
             "global_step", 0))
@@ -188,6 +204,29 @@ def main():
                                  num_classes=num_classes)
 
     state = replicate(state, mesh)
+
+    if args.eval:
+        # Validation-only mode (train_codeps.py:483-495: --eval requires
+        # --resume and runs validate() once).
+        assert args.checkpoint, "--checkpoint is needed in --eval mode"
+        from codeps_tpu.tasks.validate import run_validation
+        metrics = run_validation(
+            cfg, modules, state.params, state.batch_stats, val_loader,
+            train_dataset.thing_classes, train_dataset.stuff_classes,
+            train_dataset.ignore_classes, compute_loss=True,
+            class_weights=jnp.asarray(class_weights, jnp.float32),
+            gen_visuals=wandb_logger.enabled,
+            label_mode=cfg.dataset.label_mode, mesh=mesh)
+        log_info("Eval: %s",
+                 {k: round(float(v), 4) for k, v in metrics.items()
+                  if np.ndim(v) == 0})
+        wandb_logger.log_scalars("val", metrics={
+            k: v for k, v in metrics.items() if np.ndim(v) == 0},
+            step=global_step)
+        wandb_logger.finish()
+        log_info("End of training script!")
+        return
+
     for epoch in range(start_epoch, cfg.train.nof_epochs):
         train_loader.set_epoch(epoch)
         epoch_start = time.time()
