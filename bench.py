@@ -372,6 +372,8 @@ def main():
             extra[sub["metric"]] = {"value": sub["value"],
                                     "unit": sub["unit"],
                                     "vs_baseline": sub["vs_baseline"]}
+            if sub.get("baseline_note"):
+                extra[sub["metric"]]["baseline_note"] = sub["baseline_note"]
         except Exception as exc:  # noqa: BLE001 - keep the primary metric
             extra[extra_mode] = {"error": f"{type(exc).__name__}: {exc}"}
     record["extra"] = extra

@@ -37,6 +37,12 @@ cost a measured ~6.5 ms/step in full-tensor copies).
 
 Exactness: fused == resize_bilinear + concat + conv to f32 roundoff
 (tests/test_guda_fusion.py).
+
+Production code uses only the *_blockspace forms (models/heads.py); the
+full-resolution variants (``upsample_conv3x3``, ``guda_fused_semconv``,
+``_phase_conv``, ``_apply_excess``) are retained as the independent
+reference implementations the blockspace equality tests check against —
+edit both or the tests catch the drift.
 """
 
 from __future__ import annotations

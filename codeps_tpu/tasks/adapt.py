@@ -366,8 +366,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     def _depth_domain(params, batch_stats, frames, camera, rng,
                       per_sample: bool = False):
         """Depth losses for one domain; returns (recon, smth, flow_losses,
-        transformations, last_feats). ``per_sample`` keeps the batch axis
-        of recon/smth (merged-domain path)."""
+        transformations, last_feats, object_motion_maps). ``per_sample``
+        keeps the batch axis of recon/smth (merged-domain path)."""
         images = [frames[:, 0], frames[:, 1], frames[:, 2]]
         if make_flow:
             per_frame, _ = encode_frames(modules, params, batch_stats,
@@ -393,7 +393,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         if make_flow:
             flow_losses = (flow_smoothness_loss(fwd["object_motion_maps"]),
                            flow_sparsity_loss(fwd["object_motion_maps"]))
-        return recon, smth, flow_losses, fwd["transformations"], feats_t
+        return (recon, smth, flow_losses, fwd["transformations"], feats_t,
+                fwd["object_motion_maps"])
 
     mean = tuple(cfg.dataset.normalization.rgb_mean)
     std = tuple(cfg.dataset.normalization.rgb_std)
@@ -424,7 +425,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         target_feats = None
         if make_depth:
             rng, sub = jax.random.split(rng)
-            recon_s, smth_s, flow_s, _, _ = _depth_domain(
+            recon_s, smth_s, flow_s, _, _, _ = _depth_domain(
                 params, batch_stats, batch["source"]["frames"],
                 batch["source"]["camera"], sub)
             domain_stats.append((recon_s, smth_s, flow_s,
@@ -454,7 +455,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     [batch["target"]["camera"],
                      batch["target_replay"]["camera"]], axis=0)
                 rng, sub = jax.random.split(rng)
-                recon_vec, smth_vec, flow_t, transforms_tr, feats_tr = \
+                recon_vec, smth_vec, flow_t, transforms_tr, feats_tr, _ = \
                     _depth_domain(params, batch_stats, frames_tr,
                                   camera_tr, sub, per_sample=True)
                 recon_t = jnp.mean(recon_vec[:nt])
@@ -465,10 +466,16 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 target_feats = [f[:nt] for f in feats_tr]
             else:
                 rng, sub = jax.random.split(rng)
-                recon_t, smth_t, flow_t, transforms_t, target_feats = \
-                    _depth_domain(params, batch_stats,
-                                  batch["target"]["frames"],
-                                  batch["target"]["camera"], sub)
+                (recon_t, smth_t, flow_t, transforms_t, target_feats,
+                 motion_t) = _depth_domain(params, batch_stats,
+                                           batch["target"]["frames"],
+                                           batch["target"]["camera"], sub)
+                if make_flow:
+                    # target-domain sflow maps surface in the step
+                    # results for the motion panel (algos/depth.py:595 ->
+                    # online_adap.py:421 -> visualizations.py:49-51)
+                    aux["object_motion_map"] = jax.lax.stop_gradient(
+                        jnp.stack(motion_t))
             aux["transformations"] = transforms_t
             # Non-moving-frame check on THIS forward's transformations
             # (algos/depth.py:538-540 — the reference reuses the adapt
@@ -489,7 +496,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     flow_r = None
                 else:
                     rng, sub = jax.random.split(rng)
-                    recon_r, smth_r, flow_r, _, _ = _depth_domain(
+                    recon_r, smth_r, flow_r, _, _, _ = _depth_domain(
                         params, batch_stats,
                         batch["target_replay"]["frames"],
                         batch["target_replay"]["camera"], sub)
@@ -781,8 +788,15 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             dist_buffer=dist_buffer, dist_count=dist_count,
             dist_head=dist_head, ema_alpha=state.ema_alpha)
         if eval_forward is not None:
+            eval_results = dict(eval_out[0])
+            if "object_motion_map" in aux:
+                # student's target sflow pair, stacked (2, B, H, W, 3) —
+                # the reference logs these from the adapt forward
+                # (online_adap.py:421, visualizations.py:49-51)
+                eval_results["object_motion_map"] = \
+                    aux["object_motion_map"]
             return (new_state, metrics, aux["image_features"],
-                    eval_out[0], eval_out[1])
+                    eval_results, eval_out[1])
         return new_state, metrics, aux["image_features"]
 
     return jax.jit(adapt_step, donate_argnums=(0,) if donate else ())

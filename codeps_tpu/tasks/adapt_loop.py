@@ -143,7 +143,8 @@ class AdaptationRunner:
         self.disable_adaptation = cfg.adapt.mode == "off"
         self.adaptation_steps = (0 if self.disable_adaptation
                                  else cfg.train.nof_adaptation_steps)
-        self.loss_weights = {k: v for k, v in cfg.losses.weights.items()}
+        # loss weighting happens inside the compiled step (make_adapt_step
+        # reads cfg.losses.weights directly) — no host-side copy kept.
 
         self.panoptic_eval = PanopticEvaluator(list(self.stuff_list),
                                                list(self.thing_list))

@@ -51,16 +51,39 @@ def run_validation(cfg, modules, params, batch_stats, loader,
     num_classes = modules.num_classes
 
     if mesh is not None:
-        from codeps_tpu.parallel import replicate, shard_batch
+        from codeps_tpu.parallel import (replicate, shard_batch,
+                                         shard_batch_multihost)
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
 
     def place(batch_np):
-        leading = next(iter(batch_np.values())).shape[0]
-        if mesh is not None and leading % mesh.devices.size == 0:
-            return shard_batch(
-                {k: np.asarray(v) for k, v in batch_np.items()}, mesh)
-        return {k: jnp.asarray(v) for k, v in batch_np.items()}
+        arrs = {k: np.asarray(v) for k, v in batch_np.items()}
+        leading = next(iter(arrs.values())).shape[0]
+        if mesh is None:
+            return {k: jnp.asarray(v) for k, v in arrs.items()}
+        import jax
+        num_processes = jax.process_count()
+        if leading % mesh.devices.size == 0:
+            if num_processes > 1:
+                # The val loader is unsharded and deterministic
+                # (scripts/train.py: shuffle=False), so every process
+                # holds the full batch; each contributes its contiguous
+                # per-host slice to the global array.
+                per_host = leading // num_processes
+                lo = jax.process_index() * per_host
+                local = {k: v[lo:lo + per_host] for k, v in arrs.items()}
+                return shard_batch_multihost(local, mesh)
+            return shard_batch(arrs, mesh)
+        if num_processes > 1:
+            # drop_last=False tail that doesn't divide the mesh:
+            # replicate the full batch over all devices (every process
+            # supplies the identical full array).
+            from jax.sharding import NamedSharding, PartitionSpec
+            sharding = NamedSharding(mesh, PartitionSpec())
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, x), arrs)
+        return {k: jnp.asarray(v) for k, v in arrs.items()}
 
     loss_step = None
     if compute_loss:

@@ -68,10 +68,13 @@ def main():
     from codeps_tpu.models import CodepsNet, build_modules, init_params
 
     init_logging()
-    try:
-        cfg = gen_config(args.filename_config)
-    except (KeyError, ValueError):  # adaptation-flavored YAML
-        cfg = gen_config(args.filename_config, adapt=True)
+    # Adaptation YAMLs carry a top-level `adapt` node — merge them over
+    # the adapt defaults tree (gen_config would otherwise silently treat
+    # the node as a new key on the train tree).
+    import yaml
+    with open(args.filename_config) as f:
+        is_adapt = "adapt" in (yaml.safe_load(f) or {})
+    cfg = gen_config(args.filename_config, adapt=is_adapt)
     labels = get_labels(cfg.dataset.remove_classes, cfg.dataset.label_mode)
     num_classes = len(labels)
     thing_list = [i for i, lb in enumerate(labels) if lb.hasInstances]

@@ -223,6 +223,9 @@ def main():
         wandb_logger.log_scalars("val", metrics={
             k: v for k, v in metrics.items() if np.ndim(v) == 0},
             step=global_step)
+        if "visual_panels" in metrics:
+            wandb_logger.log_images("val", metrics["visual_panels"],
+                                    step=global_step)
         wandb_logger.finish()
         log_info("End of training script!")
         return

@@ -36,6 +36,24 @@ def build_global_batch():
     }
 
 
+def build_val_loader():
+    """Two deterministic val batches: one mesh-divisible (8) and one
+    drop_last=False tail (3) — exercising both placement paths of
+    run_validation.place()."""
+    rng = np.random.default_rng(77)
+
+    def make(n):
+        return {
+            "frames": rng.uniform(
+                0, 1, (n, 3, H, W, 3)).astype(np.float32),
+            "camera": np.tile([[40.0, 40.0, W / 2, H / 2]],
+                              (n, 1)).astype(np.float32),
+            "depth_gt": rng.uniform(0, 60, (n, H, W)).astype(np.float32),
+        }
+
+    return [make(GLOBAL_BATCH), make(3)]
+
+
 def build_state_and_step(cfg_overrides=None):
     import jax
     import jax.numpy as jnp
@@ -65,7 +83,7 @@ def build_state_and_step(cfg_overrides=None):
     step = make_train_step(modules, cfg, tx,
                            class_weights=list(cfg.semantics.class_weights),
                            donate=False)
-    return state, step
+    return state, step, modules, cfg
 
 
 def digest(tree):
@@ -91,7 +109,7 @@ def main():
         shard_batch_multihost
 
     mesh = make_mesh()
-    state, step = build_state_and_step()
+    state, step, modules, cfg = build_state_and_step()
     state = replicate(state, mesh)
 
     # local contiguous slice: global device order is process-major, so
@@ -104,11 +122,22 @@ def main():
 
     new_state, metrics = step(state, batch)
     loss = float(metrics["loss_total"])
+
+    # mesh-sharded validation in multi-process SPMD: every process runs
+    # the full deterministic loader; run_validation.place() contributes
+    # per-host slices (divisible batch) or replicates (tail batch)
+    from codeps_tpu.tasks.validate import run_validation
+    val_metrics = run_validation(
+        cfg, modules, new_state.params, new_state.batch_stats,
+        build_val_loader(), thing_list=(), stuff_list=(), mesh=mesh)
+
     if process_id == 0:
         result = {
             "loss_total": loss,
             "depth_recon": float(metrics["depth_recon"]),
             "param_digest": digest(new_state.params),
+            "val_d_abs_rel": float(val_metrics["d_abs_rel"]),
+            "val_d_a1": float(val_metrics["d_a1"]),
         }
         Path(out_path).write_text(json.dumps(result))
     jax.distributed.shutdown()

@@ -269,6 +269,42 @@ def test_adapt_step_depth_only():
     assert max(jax.tree.leaves(delta)) > 0
 
 
+def test_adapt_step_sflow_motion_maps():
+    """sflow flavor: the step returns the student's target-domain
+    object-motion pair in its eval results (algos/depth.py:595 ->
+    online_adap.py:421) and the motion panel renders from it
+    (visualizations.py:49-51)."""
+    cfg = _cfg()
+    cfg.model.make_sflow = True
+    cfg.model.make_semantic = False
+    cfg.model.make_instance = False
+    frozen = ("backbone_po_depth",)
+    modules, state, tx = _modules_state(cfg, frozen)
+    from codeps_tpu.tasks.adapt import build_eval_forward
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
+        ema_modules=(), frozen_modules=frozen,
+        has_replay=True, num_mixup=0, donate=False,
+        eval_forward=build_eval_forward(modules, cfg, THINGS))
+    batch = _adapt_batch()
+    batch.pop("mixup")
+
+    _, metrics, _, eval_results, _ = step(state, batch)
+    for key in ("flow_smth", "flow_sparsity"):
+        assert np.isfinite(float(metrics[key])), key
+    motion = np.asarray(eval_results["object_motion_map"])
+    assert motion.shape == (2, 1, HT, WT, 3)
+    assert np.isfinite(motion).all()
+
+    from codeps_tpu.io.visualizations import gen_visualizations
+    panels = gen_visualizations(
+        {"frames": np.asarray(batch["target"]["frames"])},
+        {k: np.asarray(v) for k, v in eval_results.items()
+         if v is not None and k != "semantic_soft"},
+        (0.0, 0.0, 0.0), (1.0, 1.0, 1.0))
+    assert panels["motion_0"].shape == (HT, 2 * WT, 3)
+
+
 def test_adapt_step_source_thing_mask_loss():
     """use_thing_mask configs: the adapt step computes the source
     thing-mask CE (algos/instance_seg.py:177-182) and weights it into the

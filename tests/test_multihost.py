@@ -62,7 +62,7 @@ def test_two_process_multihost_matches_single_process(tmp_path):
 
     mesh = make_mesh()
     assert mesh.devices.size == 8
-    state, step = worker.build_state_and_step()
+    state, step, modules, cfg = worker.build_state_and_step()
     state = replicate(state, mesh)
     batch = shard_batch(worker.build_global_batch(), mesh)
     new_state, metrics = step(state, batch)
@@ -73,3 +73,14 @@ def test_two_process_multihost_matches_single_process(tmp_path):
                                float(metrics["depth_recon"]), rtol=1e-5)
     np.testing.assert_allclose(result["param_digest"],
                                worker.digest(new_state.params), rtol=1e-6)
+
+    # mesh-sharded validation: 2-process == single-process (covers both
+    # place() paths: per-host slices + the replicated tail batch)
+    from codeps_tpu.tasks.validate import run_validation
+    val = run_validation(cfg, modules, new_state.params,
+                         new_state.batch_stats, worker.build_val_loader(),
+                         thing_list=(), stuff_list=(), mesh=mesh)
+    np.testing.assert_allclose(result["val_d_abs_rel"],
+                               float(val["d_abs_rel"]), rtol=1e-5)
+    np.testing.assert_allclose(result["val_d_a1"],
+                               float(val["d_a1"]), rtol=1e-5)
