@@ -329,6 +329,37 @@ def _run_mode(mode):
     }
 
 
+def _require_devices():
+    """Fail fast (bounded) when the backend is unreachable.
+
+    The axon relay hangs jax backend init indefinitely when the tunnel
+    is down; a wedged bench run leaves the caller with no artifact at
+    all. Probe device availability in a SUBPROCESS (SIGALRM cannot
+    interrupt a hung C-level connect) under BENCH_DEVICE_TIMEOUT
+    seconds (default 600 — first TPU connect is legitimately slow);
+    on timeout print an explicit error record and exit non-zero.
+    """
+    import subprocess
+    timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
+    if timeout <= 0:
+        return
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        if proc.returncode == 0:
+            return
+        detail = (proc.stderr or b"").decode(errors="replace")[-300:]
+        err = f"jax backend init failed: {detail.strip()}"
+    except subprocess.TimeoutExpired:
+        err = (f"no jax devices within {timeout:.0f}s "
+               "(TPU relay unreachable?)")
+    print(json.dumps({"metric": "adapt_steps_per_sec", "value": 0.0,
+                      "unit": "steps/s", "vs_baseline": 0.0,
+                      "error": err}))
+    raise SystemExit(1)
+
+
 def main():
     """Print ONE json line.
 
@@ -342,6 +373,7 @@ def main():
     if mode not in ("step", "loop", "train", "all"):
         raise SystemExit(
             f"BENCH_MODE must be step|loop|train|all, got {mode!r}")
+    _require_devices()
     if mode != "all":
         print(json.dumps(_run_mode(mode)))
         return

@@ -1,0 +1,67 @@
+"""bench.py device-availability guard (fails fast when the backend is
+unreachable instead of hanging the caller — the axon relay wedges jax
+backend init indefinitely when the tunnel is down)."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_bench(extra_env, timeout=180):
+    env = os.environ.copy()
+    env.update(extra_env)
+    return subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=timeout)
+
+
+def _last_json_line(stdout):
+    lines = [ln for ln in stdout.strip().splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON line in: {stdout!r}"
+    return json.loads(lines[-1])
+
+
+def test_guard_reports_probe_timeout():
+    # A microscopic timeout expires before the probe subprocess can even
+    # start — deterministic regardless of relay health.
+    proc = _run_bench({"BENCH_DEVICE_TIMEOUT": "0.01"})
+    assert proc.returncode == 1
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] == 0.0
+    assert "no jax devices within" in rec["error"]
+
+
+def test_guard_reports_backend_init_failure():
+    # An unknown platform makes the probe subprocess exit non-zero fast.
+    proc = _run_bench({"JAX_PLATFORMS": "no_such_platform",
+                       "PALLAS_AXON_POOL_IPS": "",
+                       "BENCH_DEVICE_TIMEOUT": "120"})
+    assert proc.returncode == 1
+    rec = _last_json_line(proc.stdout)
+    assert rec["value"] == 0.0
+    assert "jax backend init failed" in rec["error"]
+
+
+def test_guard_passes_on_live_backend():
+    # The probe subprocess inherits os.environ (the container pins
+    # JAX_PLATFORMS=axon there even though conftest forces CPU
+    # in-process) — point it at the CPU backend explicitly.
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    saved = {k: os.environ.get(k)
+             for k in ("JAX_PLATFORMS", "PALLAS_AXON_POOL_IPS")}
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    try:
+        mod._require_devices()  # must not raise SystemExit
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
