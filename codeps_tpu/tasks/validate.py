@@ -56,6 +56,23 @@ def run_validation(cfg, modules, params, batch_stats, loader,
         params = replicate(params, mesh)
         batch_stats = replicate(batch_stats, mesh)
 
+    gather_for_host = None
+    import jax
+    if mesh is not None and jax.process_count() > 1:
+        # Per-SAMPLE step outputs (panoptic maps, visuals' depth/center/
+        # offset) come back batch-sharded; with >1 process each host
+        # only addresses its own rows and np.asarray would raise.
+        # Allgather them (jitted identity with replicated out-sharding)
+        # before host-side PQ accumulation — the host-side equivalent of
+        # the reference's all-rank eval + all_reduce of the meters
+        # (scripts/train_codeps.py:317-321, eval/semantic.py:43-50).
+        # Scalar/conf-matrix stats are full-batch reductions and come
+        # back replicated already.
+        from jax.sharding import NamedSharding, PartitionSpec
+        gather_for_host = jax.jit(
+            lambda tree: tree,
+            out_shardings=NamedSharding(mesh, PartitionSpec()))
+
     def place(batch_np):
         arrs = {k: np.asarray(v) for k, v in batch_np.items()}
         leading = next(iter(arrs.values())).shape[0]
@@ -111,6 +128,8 @@ def run_validation(cfg, modules, params, batch_stats, loader,
             break
         batch = place(batch_np)
         results, stats = eval_step(params, batch_stats, batch)
+        if gather_for_host is not None:
+            results = gather_for_host(results)
 
         if loss_step is not None:
             total, (losses, _, _) = loss_step(params, batch_stats,
@@ -140,6 +159,8 @@ def run_validation(cfg, modules, params, batch_stats, loader,
             if gt_sem is not None:
                 pan_gt = gt_panoptic(gt_sem, batch["center"],
                                      batch["offset"])
+                if gather_for_host is not None:
+                    pan_gt = gather_for_host(pan_gt)
                 panoptic_eval.update(np.asarray(pan_gt),
                                      np.asarray(results["panoptic"]))
 

@@ -127,17 +127,25 @@ def main():
     # the full deterministic loader; run_validation.place() contributes
     # per-host slices (divisible batch) or replicates (tail batch)
     from codeps_tpu.tasks.validate import run_validation
+    # gen_visuals consumes per-SAMPLE step outputs on the host — with
+    # 2 processes those come back batch-sharded and must be allgathered
+    # by run_validation's gather_for_host path before np.asarray.
     val_metrics = run_validation(
         cfg, modules, new_state.params, new_state.batch_stats,
-        build_val_loader(), thing_list=(), stuff_list=(), mesh=mesh)
+        build_val_loader(), thing_list=(), stuff_list=(), mesh=mesh,
+        gen_visuals=True)
 
     if process_id == 0:
+        panels = val_metrics["visual_panels"]
         result = {
             "loss_total": loss,
             "depth_recon": float(metrics["depth_recon"]),
             "param_digest": digest(new_state.params),
             "val_d_abs_rel": float(val_metrics["d_abs_rel"]),
             "val_d_a1": float(val_metrics["d_a1"]),
+            "val_panels_count": len(panels),
+            "val_panels_digest": float(sum(
+                np.asarray(p, np.float64).sum() for p in panels.values())),
         }
         Path(out_path).write_text(json.dumps(result))
     jax.distributed.shutdown()

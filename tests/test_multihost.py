@@ -79,8 +79,18 @@ def test_two_process_multihost_matches_single_process(tmp_path):
     from codeps_tpu.tasks.validate import run_validation
     val = run_validation(cfg, modules, new_state.params,
                          new_state.batch_stats, worker.build_val_loader(),
-                         thing_list=(), stuff_list=(), mesh=mesh)
+                         thing_list=(), stuff_list=(), mesh=mesh,
+                         gen_visuals=True)
     np.testing.assert_allclose(result["val_d_abs_rel"],
                                float(val["d_abs_rel"]), rtol=1e-5)
     np.testing.assert_allclose(result["val_d_a1"],
                                float(val["d_a1"]), rtol=1e-5)
+    # per-sample outputs (visual panels) require the multi-process
+    # allgather inside run_validation — identical panels either way
+    # (rtol absorbs uint8 colormap quantization at f32 noise edges)
+    panels = val["visual_panels"]
+    assert result["val_panels_count"] == len(panels)
+    digest = float(sum(np.asarray(p, np.float64).sum()
+                       for p in panels.values()))
+    np.testing.assert_allclose(result["val_panels_digest"], digest,
+                               rtol=1e-3)
