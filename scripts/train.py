@@ -90,23 +90,33 @@ def main():
                                   build_schedule, make_train_step)
 
     cfg = gen_config(args.filename_config)
-    run_dir = Path(args.experiments_dir) / f"train_{args.run_name}"
-    run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.yaml").write_text(cfg.dump())
-    init_logging(str(run_dir / "logs"), debug=args.debug)
-    from codeps_tpu.io.logging import WandbLogger
-    wandb_logger = WandbLogger(project=args.wandb_project,
-                               entity=args.wandb_entity,
-                               run_name=args.run_name, enabled=args.wandb,
-                               config=cfg.to_dict())
 
     # Multi-host SPMD: initialize the distributed runtime when launched
     # under a multi-process coordinator (jax.distributed reads the
-    # standard env vars); single-host runs skip this.
+    # standard env vars); single-host runs skip this. Must run before
+    # any run-dir/log/wandb side effects so those can be gated to the
+    # lead process (the reference gates them to rank 0,
+    # misc/train_utils.py:62-78 + scripts/train_codeps.py checkpoints).
     import os as _os
     if _os.environ.get("JAX_COORDINATOR_ADDRESS") or \
             _os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    is_lead = jax.process_index() == 0
+
+    run_dir = Path(args.experiments_dir) / f"train_{args.run_name}"
+    if is_lead:
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "config.yaml").write_text(cfg.dump())
+    # Followers log to console only: a shared run.log file handle across
+    # processes would interleave corrupt lines.
+    init_logging(str(run_dir / "logs") if is_lead else None,
+                 debug=args.debug)
+    from codeps_tpu.io.logging import WandbLogger
+    wandb_logger = WandbLogger(project=args.wandb_project,
+                               entity=args.wandb_entity,
+                               run_name=args.run_name,
+                               enabled=args.wandb and is_lead,
+                               config=cfg.to_dict())
     log_info("Devices: %s (process %d/%d)", jax.devices(),
              jax.process_index(), jax.process_count())
     mesh = make_mesh(cfg.tpu.mesh.data_axis)
@@ -259,12 +269,15 @@ def main():
 
         log_info("Epoch %d done in %.1fs", epoch,
                  time.time() - epoch_start)
-        save_checkpoint(
-            str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg, epoch,
-            global_step, jax.device_get(state.params),
-            jax.device_get(state.batch_stats),
-            opt_state=jax.device_get(state.opt_state),
-            rng=jax.device_get(state.rng), meters=train_meters)
+        if is_lead:
+            # every process holds the same replicated state; only the
+            # lead writes (concurrent Orbax saves to one path race)
+            save_checkpoint(
+                str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg,
+                epoch, global_step, jax.device_get(state.params),
+                jax.device_get(state.batch_stats),
+                opt_state=jax.device_get(state.opt_state),
+                rng=jax.device_get(state.rng), meters=train_meters)
 
         if (len(val_dataset) > 0
                 and (epoch + 1) % cfg.logging.val_epoch_interval == 0):
