@@ -139,6 +139,58 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
     }
 
 
+def _bench_infer(cfg, num_classes, num_steps, height, width):
+    """Serving-path throughput: the facade eval forward (all heads +
+    panoptic fusion) at the adaptation target resolution.
+
+    Mirrors the reference's deployment surface — CodepsNet.forward
+    eval mode (/root/reference/codeps/online_adap.py:142-181) followed
+    by InstanceSegAlgo.panoptic_fusion (algos/instance_seg.py:207-258)
+    — as one jitted program. BENCH_INFER_BATCH sets the batch (default
+    1: per-frame serving latency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from codeps_tpu.models import build_modules, init_params
+    from codeps_tpu.models.facade import CodepsNet
+
+    modules = build_modules(cfg, num_classes, dtype=jnp.bfloat16)
+    params, stats = init_params(jax.random.PRNGKey(0), modules,
+                                (height, width))
+    net = CodepsNet(modules, params, stats)
+
+    batch_size = int(os.environ.get("BENCH_INFER_BATCH", "1"))
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.uniform(
+        0, 1, (batch_size, height, width, 3)).astype(np.float32))
+
+    def timed(n):
+        start = time.perf_counter()
+        for _ in range(n):
+            out = net(image, mode="eval")
+        # Force the chain: small device-side reduce, scalar fetch.
+        float(jnp.sum(out["panoptic"]) + jnp.sum(out["depth"][0]))
+        return time.perf_counter() - start
+
+    timed(3)                     # post-compile warmup
+    t_short = timed(3)
+    t_long = timed(3 + num_steps)
+    elapsed = max(t_long - t_short, 1e-6)
+
+    images_per_sec = num_steps * batch_size / elapsed
+    return {
+        "metric": "infer_images_per_sec",
+        "value": round(images_per_sec, 3),
+        "unit": "img/s",
+        # No published reference serving throughput exists (BASELINE.md);
+        # recorded for round-over-round comparability, not a ratio.
+        "vs_baseline": None,
+        "baseline_note": "no published reference inference throughput; "
+                         f"batch={batch_size} at {height}x{width} incl. "
+                         "panoptic fusion",
+    }
+
+
 def _run_mode(mode):
     import jax
     import jax.numpy as jnp
@@ -168,6 +220,8 @@ def _run_mode(mode):
 
     if mode == "train":
         return _bench_train(cfg, num_classes, num_steps, hs, ws)
+    if mode == "infer":
+        return _bench_infer(cfg, num_classes, num_steps, ht, wt)
 
     modules = build_modules(cfg, num_classes, dtype=jnp.bfloat16)
     params, stats = init_params(jax.random.PRNGKey(0), modules, (ht, wt))
@@ -363,16 +417,16 @@ def _require_devices():
 def main():
     """Print ONE json line.
 
-    BENCH_MODE=step|loop|train runs a single mode; the default (all)
-    runs the adapt step (primary metric) and folds loop + train numbers
-    into an "extra" field so every round's artifact carries all three
-    (rounds stay comparable). A failing extra mode records its error
+    BENCH_MODE=step|loop|train|infer runs a single mode; the default
+    (all) runs the adapt step (primary metric) and folds loop + train +
+    infer numbers into an "extra" field so every round's artifact
+    carries all four (rounds stay comparable). A failing extra mode records its error
     without jeopardizing the primary metric.
     """
     mode = os.environ.get("BENCH_MODE", "all")
-    if mode not in ("step", "loop", "train", "all"):
+    if mode not in ("step", "loop", "train", "infer", "all"):
         raise SystemExit(
-            f"BENCH_MODE must be step|loop|train|all, got {mode!r}")
+            f"BENCH_MODE must be step|loop|train|infer|all, got {mode!r}")
     _require_devices()
     if mode != "all":
         print(json.dumps(_run_mode(mode)))
@@ -395,7 +449,7 @@ def main():
         "mesh — dryrun_multichip + "
         "test_adapt_step.py::test_sharded_adapt_step_over_mesh)")
     extra = {}
-    for extra_mode in ("loop", "train"):
+    for extra_mode in ("loop", "train", "infer"):
         if time.perf_counter() - start > budget:
             extra[extra_mode] = {"skipped": "BENCH_BUDGET exceeded"}
             continue
