@@ -75,9 +75,16 @@ def save_checkpoint(path: str, cfg, epoch: int, global_step: int,
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if _HAS_ORBAX and not str(path).endswith(".pkl"):
+        # Orbax save is a collective: it synchronizes all processes via
+        # global barriers and gates the actual file writes to the
+        # primary host. Callers must therefore invoke save_checkpoint on
+        # EVERY process in a multi-process run (a lead-only call
+        # deadlocks on the save_start barrier).
         checkpointer = ocp.PyTreeCheckpointer()
         checkpointer.save(str(path.absolute()), payload, force=True)
-    else:
+    elif jax.process_index() == 0:
+        # Pickle fallback has no cross-process coordination: lead-only
+        # write (every process holds the same replicated payload).
         with open(path, "wb") as handle:
             pickle.dump(payload, handle)
 

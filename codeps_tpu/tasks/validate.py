@@ -129,7 +129,17 @@ def run_validation(cfg, modules, params, batch_stats, loader,
         batch = place(batch_np)
         results, stats = eval_step(params, batch_stats, batch)
         if gather_for_host is not None:
-            results = gather_for_host(results)
+            # Gather only what the host consumes: the panoptic map
+            # every batch (PQ accumulation), and the FULL per-sample
+            # tree (semantic_soft/depth/center/offset/...) only for the
+            # one visuals batch — allgathering the whole tree per batch
+            # would move full-resolution float maps across hosts just
+            # to discard them.
+            if gen_visuals and batch_index == 0:
+                results = gather_for_host(results)
+            elif "panoptic" in results:
+                results = dict(results, panoptic=gather_for_host(
+                    results["panoptic"]))
 
         if loss_step is not None:
             total, (losses, _, _) = loss_step(params, batch_stats,

@@ -269,15 +269,15 @@ def main():
 
         log_info("Epoch %d done in %.1fs", epoch,
                  time.time() - epoch_start)
-        if is_lead:
-            # every process holds the same replicated state; only the
-            # lead writes (concurrent Orbax saves to one path race)
-            save_checkpoint(
-                str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg,
-                epoch, global_step, jax.device_get(state.params),
-                jax.device_get(state.batch_stats),
-                opt_state=jax.device_get(state.opt_state),
-                rng=jax.device_get(state.rng), meters=train_meters)
+        # Collective under Orbax: every process must enter (barriers
+        # inside; the primary host does the writing, the pickle
+        # fallback is lead-gated inside save_checkpoint).
+        save_checkpoint(
+            str(run_dir / "saved_models" / f"epoch_{epoch}"), cfg,
+            epoch, global_step, jax.device_get(state.params),
+            jax.device_get(state.batch_stats),
+            opt_state=jax.device_get(state.opt_state),
+            rng=jax.device_get(state.rng), meters=train_meters)
 
         if (len(val_dataset) > 0
                 and (epoch + 1) % cfg.logging.val_epoch_interval == 0):

@@ -135,12 +135,27 @@ def main():
         build_val_loader(), thing_list=(), stuff_list=(), mesh=mesh,
         gen_visuals=True)
 
+    # save_checkpoint is a COLLECTIVE under Orbax (global barriers;
+    # the primary host does the writing): every process must enter.
+    # Regression coverage for scripts/train.py's epoch save — a
+    # lead-only call deadlocks on Orbax's save_start barrier.
+    from codeps_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    ckpt_path = str(Path(out_path).parent / "mh_ckpt" / "epoch_0")
+    save_checkpoint(ckpt_path, cfg, 0, 1,
+                    jax.device_get(new_state.params),
+                    jax.device_get(new_state.batch_stats),
+                    opt_state=jax.device_get(new_state.opt_state),
+                    rng=jax.device_get(new_state.rng))
+    # Both processes restore (harmless if restore also synchronizes).
+    ckpt = load_checkpoint(ckpt_path)
+
     if process_id == 0:
         panels = val_metrics["visual_panels"]
         result = {
             "loss_total": loss,
             "depth_recon": float(metrics["depth_recon"]),
             "param_digest": digest(new_state.params),
+            "ckpt_param_digest": digest(ckpt["state_dict"]["params"]),
             "val_d_abs_rel": float(val_metrics["d_abs_rel"]),
             "val_d_a1": float(val_metrics["d_a1"]),
             "val_panels_count": len(panels),

@@ -73,6 +73,9 @@ def test_two_process_multihost_matches_single_process(tmp_path):
                                float(metrics["depth_recon"]), rtol=1e-5)
     np.testing.assert_allclose(result["param_digest"],
                                worker.digest(new_state.params), rtol=1e-6)
+    # the all-process collective save wrote a checkpoint that round-trips
+    np.testing.assert_allclose(result["ckpt_param_digest"],
+                               worker.digest(new_state.params), rtol=1e-6)
 
     # mesh-sharded validation: 2-process == single-process (covers both
     # place() paths: per-host slices + the replicated tail batch)
