@@ -45,6 +45,28 @@ def _baseline_for_devices() -> float:
     return BASELINE_STEPS_PER_SEC * len(jax.devices()) / BASELINE_CHIPS
 
 
+def _differential_elapsed(timed, num_steps, warmup=3, profile=False):
+    """Timing-honesty protocol in ONE place (see module docstring).
+
+    ``timed(n)`` runs n iterations (threading any loop state via
+    closure) and must END with a forced scalar fetch, then return wall
+    seconds. We time an M-window and an (M+N)-window; their difference
+    cancels the fetch RPC and dispatch pipelining. BENCH_PROFILE wraps
+    the two timed windows in a profiler trace when ``profile`` is set.
+    """
+    timed(warmup)  # post-compile warmup
+    profile_dir = os.environ.get("BENCH_PROFILE") if profile else None
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+    t_short = timed(3)
+    t_long = timed(3 + num_steps)
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+    return max(t_long - t_short, 1e-6)
+
+
 def _bench_train(cfg, num_classes, num_steps, height, width):
     """Multi-task pretraining step throughput (train_cityscapes shape:
     batch 6 at 512x1024 per chip). Returns an images/sec record."""
@@ -111,17 +133,18 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
     step = make_train_step(modules, cfg, tx,
                            class_weights=[1.0] * num_classes, donate=True)
 
-    def timed(state, n):
+    state_box = [state]
+
+    def timed(n):
+        state = state_box[0]
         start = time.perf_counter()
         for _ in range(n):
             state, metrics = step(state, batch)
         float(metrics["loss_total"])  # force execution of the chain
-        return state, time.perf_counter() - start
+        state_box[0] = state
+        return time.perf_counter() - start
 
-    state, _ = timed(state, 3)           # post-compile warmup
-    state, t_short = timed(state, 3)
-    state, t_long = timed(state, 3 + num_steps)
-    elapsed = max(t_long - t_short, 1e-6)
+    elapsed = _differential_elapsed(timed, num_steps)
 
     images_per_sec = num_steps * batch_size / elapsed
     return {
@@ -172,10 +195,7 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
         float(jnp.sum(out["panoptic"]) + jnp.sum(out["depth"][0]))
         return time.perf_counter() - start
 
-    timed(3)                     # post-compile warmup
-    t_short = timed(3)
-    t_long = timed(3 + num_steps)
-    elapsed = max(t_long - t_short, 1e-6)
+    elapsed = _differential_elapsed(timed, num_steps)
 
     images_per_sec = num_steps * batch_size / elapsed
     return {
@@ -338,47 +358,44 @@ def _run_mode(mode):
             pending_add[0] = (features, frame_idx)
             return state, metrics
 
-        def timed_frames(state, n, base):
-            start = time.perf_counter()
-            for i in range(n):
-                state, metrics = one_frame(state, base + i)
-            float(metrics["loss_total"])
-            return state, time.perf_counter() - start
+        state_box = [state]
+        frame_counter = [0]  # monotonic: distinct sim-index ids per frame
 
-        state, _ = timed_frames(state, 2, 0)
-        profile_dir = os.environ.get("BENCH_PROFILE")
-        if profile_dir:
-            jax.profiler.start_trace(profile_dir)
-        state, t_short = timed_frames(state, 3, 100)
-        state, t_long = timed_frames(state, 3 + num_steps, 200)
-        elapsed = max(t_long - t_short, 1e-6)
-        if profile_dir:
-            jax.profiler.stop_trace()
+        def timed_frames(n):
+            state = state_box[0]
+            start = time.perf_counter()
+            for _ in range(n):
+                state, metrics = one_frame(state, frame_counter[0])
+                frame_counter[0] += 1
+            float(metrics["loss_total"])
+            state_box[0] = state
+            return time.perf_counter() - start
+
+        elapsed = _differential_elapsed(timed_frames, num_steps,
+                                        warmup=2, profile=True)
         metric_name = "adapt_frames_per_sec"
     else:
-        def timed_steps(state, n):
+        state_box = [state]
+
+        def timed_steps(n):
+            state = state_box[0]
             start = time.perf_counter()
             for _ in range(n):
                 state, metrics, _ = step(state, batch)
             float(metrics["loss_total"])
-            return state, time.perf_counter() - start
+            state_box[0] = state
+            return time.perf_counter() - start
 
-        state, _ = timed_steps(state, 3)     # post-compile warmup
-        profile_dir = os.environ.get("BENCH_PROFILE")
-        if profile_dir:
-            jax.profiler.start_trace(profile_dir)
-        state, t_short = timed_steps(state, 3)
-        state, t_long = timed_steps(state, 3 + num_steps)
-        elapsed = max(t_long - t_short, 1e-6)
-        if profile_dir:
-            jax.profiler.stop_trace()
+        elapsed = _differential_elapsed(timed_steps, num_steps,
+                                        profile=True)
         metric_name = "adapt_steps_per_sec"
 
     steps_per_sec = num_steps / elapsed
     return {
         "metric": metric_name,
         "value": round(steps_per_sec, 3),
-        "unit": "steps/s",
+        "unit": ("frames/s" if metric_name == "adapt_frames_per_sec"
+                 else "steps/s"),
         "vs_baseline": round(steps_per_sec / _baseline_for_devices(), 3),
     }
 
@@ -392,6 +409,10 @@ def _require_devices():
     interrupt a hung C-level connect) under BENCH_DEVICE_TIMEOUT
     seconds (default 600 — first TPU connect is legitimately slow);
     on timeout print an explicit error record and exit non-zero.
+
+    The probe pays a full duplicate backend init on a HEALTHY backend;
+    callers that just proved relay health (e.g. scripts/tpu_runbook.sh
+    after its first run) should set BENCH_DEVICE_TIMEOUT=0 to skip it.
     """
     import subprocess
     timeout = float(os.environ.get("BENCH_DEVICE_TIMEOUT", "600"))
@@ -408,9 +429,19 @@ def _require_devices():
     except subprocess.TimeoutExpired:
         err = (f"no jax devices within {timeout:.0f}s "
                "(TPU relay unreachable?)")
-    print(json.dumps({"metric": "adapt_steps_per_sec", "value": 0.0,
-                      "unit": "steps/s", "vs_baseline": 0.0,
-                      "error": err}))
+    # Label the error record with the mode that failed to run, so a
+    # BENCH_MODE=train/loop/infer outage never fabricates a 0.0 data
+    # point for the primary adapt-step metric.
+    mode = os.environ.get("BENCH_MODE", "all")
+    name, unit, base = {
+        "step": ("adapt_steps_per_sec", "steps/s", 0.0),
+        "all": ("adapt_steps_per_sec", "steps/s", 0.0),
+        "loop": ("adapt_frames_per_sec", "frames/s", 0.0),
+        "train": ("pretrain_images_per_sec", "img/s", None),
+        "infer": ("infer_images_per_sec", "img/s", None),
+    }.get(mode, ("adapt_steps_per_sec", "steps/s", 0.0))
+    print(json.dumps({"metric": name, "value": 0.0, "unit": unit,
+                      "vs_baseline": base, "error": err}))
     raise SystemExit(1)
 
 

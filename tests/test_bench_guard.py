@@ -45,6 +45,21 @@ def test_guard_reports_backend_init_failure():
     assert "jax backend init failed" in rec["error"]
 
 
+def test_guard_error_record_carries_the_failing_mode():
+    # A BENCH_MODE=train outage must NOT fabricate a 0.0 data point for
+    # the primary adapt-step metric — the record is labeled with the
+    # mode that failed (and train/infer use a null baseline ratio, as
+    # their successful records do).
+    proc = _run_bench({"BENCH_DEVICE_TIMEOUT": "0.01",
+                       "BENCH_MODE": "train"})
+    assert proc.returncode == 1
+    rec = _last_json_line(proc.stdout)
+    assert rec["metric"] == "pretrain_images_per_sec"
+    assert rec["unit"] == "img/s"
+    assert rec["vs_baseline"] is None
+    assert rec["value"] == 0.0
+
+
 def test_guard_passes_on_live_backend():
     # The probe subprocess inherits os.environ (the container pins
     # JAX_PLATFORMS=axon there even though conftest forces CPU
