@@ -2,8 +2,11 @@
 
 Capability parity with /root/reference/models/{depth_head,pose_head,
 flow_head,semantic_head,instance_head}.py. NHWC layout; compute dtype is
-configurable (bfloat16 on TPU), params/stats stay float32; outputs are cast
-to float32 so losses accumulate at full precision.
+configurable (bfloat16 on TPU), params/stats stay float32. Full-resolution
+(eval/teacher) outputs are cast to float32 so losses accumulate at full
+precision; the ONE exception is SemanticHead's training-only
+``phase_space=True`` view, which stays in the compute dtype (the CE
+re-casts per the loss dtype policy; see its docstring).
 """
 
 from __future__ import annotations
@@ -285,9 +288,12 @@ class SemanticHead(nn.Module):
                  phase_space: bool = False) -> jnp.ndarray:
         """``phase_space=True`` (GUDA fusion only) returns the softmax
         probabilities in the block-phase view
-        (B, H/blk, W/blk, blk, blk, num_classes) — identical per-pixel
-        values (depth_to_space recovers the full map), computed without
-        any full-resolution activation (see _GudaConv). Training loss
+        (B, H/blk, W/blk, blk, blk, num_classes) — the same pixel set
+        (depth_to_space recovers the full map), computed without any
+        full-resolution activation (see _GudaConv). Values match the
+        full path exactly in f32; under a bf16 compute dtype this view
+        additionally keeps the softmax in bf16 (the full path softmaxes
+        in f32), a documented loss-dtype-policy deviation. Training loss
         paths use it; eval/teacher keep the full-resolution output.
         A phase variant that d2s'ed back to full resolution measured
         SLOWER than the reference formulation (3.24 -> 2.98 steps/s,

@@ -11,7 +11,9 @@ Conventions (matching the reference):
   - instance id 0 = stuff/background; ids 1..K index NMS centers.
   - panoptic id  = semantic_class * label_divisor + instance_id,
     void = -1 (int32 here; the reference uses int16).
-  - torch.mode tie-break (smallest class id) == argmax on reversed order.
+  - torch.mode resolves ties to the SMALLEST value; jnp.argmax's
+    first-max rule over ascending class ids implements exactly that
+    (do NOT reverse the class axis — that would pick the largest id).
 
 Order parity: the reference enumerates centers in row-major spatial order
 (torch.nonzero); after top-k selection we re-sort surviving centers by
@@ -60,7 +62,13 @@ def find_instance_centers(center_heatmap: jnp.ndarray,
     scores = jnp.where(keep, hm, -1.0).reshape(-1)
 
     top_scores, top_idx = jax.lax.top_k(scores, top_k)
-    valid = top_scores > 0
+    # Reference keeps centers STRICTLY above the top_k-th score once the
+    # candidate count reaches top_k (post_processing_panoptic.py:64-70:
+    # nonzero(hm > top_k_scores[-1]) — at most top_k-1 survive, ties
+    # with the k-th all drop); below top_k every positive survives.
+    num_pos = jnp.sum(scores > 0)
+    valid = jnp.where(num_pos >= top_k, top_scores > top_scores[-1],
+                      top_scores > 0)
     # Re-sort by spatial position for reference id-order parity.
     sort_key = jnp.where(valid, top_idx, height * width + top_idx)
     order = jnp.argsort(sort_key)
@@ -83,12 +91,16 @@ def group_pixels(centers: Centers, offsets: jnp.ndarray,
     distance matrix is never materialized: a fori_loop over center chunks
     keeps a running (H*W,) min — bounded VMEM, VPU-friendly.
 
+    Any top_k works: the center list is padded to a chunk multiple with
+    infinitely-distant sentinels (the reference supports arbitrary
+    top_k; the Pallas kernel still requires top_k % 8 == 0 and the
+    caller auto-gates to this path otherwise).
+
     Args:
       offsets: (H, W, 2) with channels (offset_y, offset_x).
     """
     height, width, _ = offsets.shape
     k = centers.yx.shape[0]
-    assert k % chunk == 0, "top_k must be divisible by chunk"
 
     y_coord = jnp.arange(height, dtype=jnp.float32)[:, None]
     x_coord = jnp.arange(width, dtype=jnp.float32)[None, :]
@@ -97,6 +109,13 @@ def group_pixels(centers: Centers, offsets: jnp.ndarray,
 
     ctr_y = jnp.where(centers.valid, centers.yx[:, 0], jnp.inf)
     ctr_x = jnp.where(centers.valid, centers.yx[:, 1], jnp.inf)
+    pad = (-k) % chunk
+    if pad:
+        ctr_y = jnp.concatenate(
+            [ctr_y, jnp.full((pad,), jnp.inf, ctr_y.dtype)])
+        ctr_x = jnp.concatenate(
+            [ctr_x, jnp.full((pad,), jnp.inf, ctr_x.dtype)])
+        k += pad
 
     def body(i, carry):
         best_dist, best_id = carry
@@ -147,6 +166,11 @@ def merge_semantic_and_instance(semantic: jnp.ndarray,
       - per-class instance renumbering in ascending original-id order via
         a K x K lower-triangular same-class count.
       - stuff pasted on non-instance pixels with an area threshold.
+
+    ``centers_valid`` contributes only its STATIC length K (the
+    instance-id budget); per-center validity is re-derived from vote
+    counts (inst_exists below), exactly as the reference derives
+    existence from pixel membership.
     """
     assert num_classes is not None
     height, width = semantic.shape
@@ -258,7 +282,9 @@ def get_panoptic_segmentation(
         integer labels.
       center_heatmap: (H, W).
       offsets: (H, W, 2), channels (dy, dx).
-      foreground_mask: optional (H, W) binary thing mask.
+      foreground_mask: optional thing mask — (H, W) binary, or the raw
+        (H, W, 2) two-channel head output (argmaxed internally, like
+        the reference's 4-dim branch).
 
     Returns:
       (panoptic (H, W) int32 or None, instance (H, W) int32, Centers)
@@ -289,6 +315,11 @@ def get_panoptic_segmentation(
         raw_instance = group_pixels(centers, offsets)
 
     if foreground_mask is not None:
+        if foreground_mask.ndim == 3:
+            # Raw 2-channel thing-mask (softmax/logits): argmax, like
+            # the reference's 4-dim branch
+            # (post_processing_panoptic.py:56-60).
+            foreground_mask = jnp.argmax(foreground_mask, axis=-1)
         thing_seg = foreground_mask.astype(jnp.int32)
     else:
         thing_seg = _thing_mask_from_semantic(semantic,
@@ -318,6 +349,8 @@ def panoptic_fusion_batch(semantic_probs, center, offsets, thing_list,
       semantic_probs: (B, H, W, C) probabilities.
       center: (B, H, W, 1).
       offsets: (B, H, W, 2).
+      thing_mask: optional — (B, H, W) binary, or the raw (B, H, W, 2)
+        InstanceHead thing-mask output (argmaxed internally).
     """
     def one(sem, ctr, off, fg):
         return get_panoptic_segmentation(

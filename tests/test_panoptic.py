@@ -82,6 +82,76 @@ def test_group_pixels_matches_reference(seed):
     np.testing.assert_array_equal(np.asarray(ours), ref_ids)
 
 
+@pytest.mark.parametrize("top_k", [3, 4, 6])
+def test_crowded_scene_strict_topk_parity(top_k):
+    # With >= top_k candidates the reference keeps only centers STRICTLY
+    # above the top_k-th score (nonzero(hm > top_k_scores[-1]) — at most
+    # top_k-1 survive), not the full top-k set.
+    _, heatmap, offsets, _ = _synthetic_predictions(num_instances=6,
+                                                    seed=4)
+    hm_t = torch.tensor(heatmap)[None, None]
+    ref_centers = ref.find_instance_center(
+        hm_t.clone(), threshold=0.1, nms_kernel=7, top_k=top_k)
+
+    ours = find_instance_centers(jnp.asarray(heatmap), threshold=0.1,
+                                 nms_kernel=7, top_k=top_k)
+    valid = np.asarray(ours.valid)
+    got = np.asarray(ours.yx)[valid].astype(np.int64)
+    np.testing.assert_array_equal(got, ref_centers.numpy())
+
+    ref_ids = ref.group_pixels(ref_centers,
+                               torch.tensor(offsets)[None]).numpy()[0]
+    got_ids = group_pixels(ours, jnp.asarray(offsets.transpose(1, 2, 0)))
+    np.testing.assert_array_equal(np.asarray(got_ids), ref_ids)
+
+
+def test_topk_not_multiple_of_chunk():
+    # The reference supports arbitrary top_k; the lax grouping path pads
+    # the center list internally instead of asserting divisibility.
+    probs, heatmap, offsets, semantic = _synthetic_predictions(
+        num_instances=3, seed=2)
+    sem_pred = probs.argmax(0)
+    sem_pred[semantic == 255] = 255
+
+    ref_pan, _, ref_inst = ref.get_panoptic_segmentation(
+        torch.tensor(sem_pred[None]),
+        torch.tensor(heatmap)[None, None],
+        torch.tensor(offsets)[None],
+        list(THING_LIST), label_divisor=1000, stuff_area=0, void_label=255,
+        threshold=0.1, nms_kernel=7, top_k=5)
+
+    pan, inst, _ = get_panoptic_segmentation(
+        jnp.asarray(sem_pred.astype(np.int32)), jnp.asarray(heatmap),
+        jnp.asarray(offsets.transpose(1, 2, 0)), THING_LIST,
+        label_divisor=1000, stuff_area=0, void_label=255,
+        threshold=0.1, nms_kernel=7, top_k=5, num_classes=C,
+        use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(inst), ref_inst.numpy()[0])
+    np.testing.assert_array_equal(np.asarray(pan), ref_pan.numpy()[0])
+
+
+def test_fusion_accepts_two_channel_thing_mask():
+    # The raw InstanceHead thing-mask is 2-channel; the reference argmaxes
+    # 4-dim foreground masks internally (post_processing_panoptic.py:56-60)
+    # and our single-image path mirrors that for (H, W, 2) inputs.
+    probs, heatmap, offsets, semantic = _synthetic_predictions(seed=1)
+    sem_pred = probs.argmax(0)
+    fg_binary = np.isin(sem_pred, THING_LIST).astype(np.int32)
+    fg_raw = np.stack([1.0 - fg_binary, fg_binary + 0.0],
+                      axis=-1).astype(np.float32)  # (H, W, 2)
+
+    args = (jnp.asarray(sem_pred.astype(np.int32)), jnp.asarray(heatmap),
+            jnp.asarray(offsets.transpose(1, 2, 0)), THING_LIST)
+    kwargs = dict(label_divisor=1000, stuff_area=0, void_label=255,
+                  threshold=0.1, nms_kernel=7, top_k=200, num_classes=C)
+    pan_b, inst_b, _ = get_panoptic_segmentation(
+        *args, foreground_mask=jnp.asarray(fg_binary), **kwargs)
+    pan_r, inst_r, _ = get_panoptic_segmentation(
+        *args, foreground_mask=jnp.asarray(fg_raw), **kwargs)
+    np.testing.assert_array_equal(np.asarray(inst_r), np.asarray(inst_b))
+    np.testing.assert_array_equal(np.asarray(pan_r), np.asarray(pan_b))
+
+
 @pytest.mark.parametrize("seed,num_instances", [(0, 4), (1, 6), (2, 1),
                                                 (5, 0)])
 def test_panoptic_fusion_matches_reference(seed, num_instances):
