@@ -154,18 +154,27 @@ class ReplayBuffer:
                             self.target_data.normalization_cfg)
         output["target_augmented"] = [adaptation_item]
 
-        # ---------------- target replay
-        extra = len(self.buffer_indices.get("prev_target", []))
-        if self.target_num_samples > 0 and \
-                int(self.buffer_indices["target"].sum()) + extra > 0:
+        # ---------------- target replay. Index selection under the
+        # lock: the adaptation loop's deferred buffer.add runs on the
+        # main thread while the prefetch worker is in here, and an
+        # eviction between the sum() check and the np.where snapshot
+        # would sample from a torn view. Item loading stays outside
+        # (dataset reads by index don't touch buffer state).
+        with self.lock:
+            extra = len(self.buffer_indices.get("prev_target", []))
+            have_targets = (self.target_num_samples > 0
+                            and int(self.buffer_indices["target"].sum())
+                            + extra > 0)
+            if have_targets:
+                buffer_indices = np.where(
+                    self.buffer_indices["target"])[0].tolist()
+                if extra > 0:
+                    buffer_indices += self.buffer_indices["prev_target"]
+                indices = self.target_sampler.choice(
+                    buffer_indices, self.target_num_samples,
+                    replace=self.target_num_samples > len(buffer_indices))
+        if have_targets:
             output["target_replay"] = []
-            buffer_indices = np.where(
-                self.buffer_indices["target"])[0].tolist()
-            if extra > 0:
-                buffer_indices += self.buffer_indices["prev_target"]
-            indices = self.target_sampler.choice(
-                buffer_indices, self.target_num_samples,
-                replace=self.target_num_samples > len(buffer_indices))
             for i in indices:
                 target_item = self._get_target_item(
                     int(i), do_augmentation=False,
@@ -350,10 +359,21 @@ class ReplayBuffer:
         """Add a seen frame; maintain the diversity-maximizing buffer
         (replay_buffer.py:387-460).
 
+        Serialized against the prefetch worker's source/target-replay
+        index sampling (__getitem__) by self.lock: the adaptation loop
+        calls add() on its main thread while a prefetch may be in
+        flight, and an unlocked eviction would tear the worker's view
+        of buffer_indices.
+
         Args:
           image_features: last-stage encoder features of the frame,
             (H', W', C) or (1, H', W', C); mean-pooled + L2-normalized here.
         """
+        with self.lock:
+            self._add_locked(index, image_features)
+
+    def _add_locked(self, index: int,
+                    image_features: Optional[np.ndarray] = None) -> None:
         if not self.maximize_diversity:
             self.buffer_indices["target"][index] = 1
             if self.buffer_indices["target"].sum() > self.target_buffer_size:

@@ -140,12 +140,21 @@ def make_eval_step(modules: CodepsModules, cfg, thing_list,
                                       class_wise_depth_stats))
 
 
-def make_plabel_step(modules: CodepsModules):
+def make_plabel_step(modules: CodepsModules, mean=None, std=None):
     """Teacher predictions on a stack of mixup target images
-    (adapt_codeps.py:174-199): semantic labels + center/offset maps."""
+    (adapt_codeps.py:174-199): semantic labels + center/offset maps.
+
+    ``mean``/``std`` thread the cfg's normalization constants for raw
+    uint8 inputs (default: maybe_normalize's ImageNet constants) —
+    every other teacher path threads cfg.dataset.normalization."""
+    norm_kwargs = {}
+    if mean is not None:
+        norm_kwargs["mean"] = tuple(mean)
+    if std is not None:
+        norm_kwargs["std"] = tuple(std)
 
     def plabel_step(params, batch_stats, images):
-        images = maybe_normalize(images)
+        images = maybe_normalize(images, **norm_kwargs)
         feats, _ = apply_encoder(
             modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], images, train=False)
@@ -183,23 +192,27 @@ def make_gt_panoptic_step(modules: CodepsModules, thing_list):
 # --------------------------------------------------------- student update
 
 def skip_decision(dist_buffer, dist_count, dist):
-    """Non-moving-frame check against the rolling 300-length distance
-    buffer (algos/depth.py:543-548): skip when the buffer is full and
-    its average exceeds 10x the current camera translation."""
-    full = dist_count >= DIST_BUFFER_LEN
-    avg = jnp.sum(dist_buffer) / DIST_BUFFER_LEN
+    """Non-moving-frame check against the rolling distance buffer
+    (algos/depth.py:543-548, default length 300): skip when the buffer
+    is full and its average exceeds 10x the current camera translation.
+    Capacity comes from the buffer itself so make_adapt_state's
+    dist_buffer_len parameter is honored."""
+    capacity = dist_buffer.shape[0]
+    full = dist_count >= capacity
+    avg = jnp.sum(dist_buffer) / capacity
     return full & (avg > 10.0 * dist)
 
 
 def push_ring_buffer(dist_buffer, dist_count, dist_head, dist, skip):
     """Append ``dist`` unless the frame was skipped
     (algos/depth.py:549-556)."""
+    capacity = dist_buffer.shape[0]
 
     def push(args):
         buf, count, head = args
         buf = buf.at[head].set(dist)
-        head = (head + 1) % DIST_BUFFER_LEN
-        count = jnp.minimum(count + 1, DIST_BUFFER_LEN)
+        head = (head + 1) % capacity
+        count = jnp.minimum(count + 1, capacity)
         return buf, count, head
 
     return jax.lax.cond(skip, lambda args: args, push,

@@ -85,12 +85,16 @@ class AdaptationRunner:
         self.eval_step = make_eval_step(modules, cfg, self.thing_list,
                                         self.ignore_classes,
                                         class_wise_depth_stats=do_class_wise)
-        self.plabel_step = make_plabel_step(modules)
+        self._norm_mean = tuple(cfg.dataset.normalization.rgb_mean)
+        self._norm_std = tuple(cfg.dataset.normalization.rgb_std)
+        self.plabel_step = make_plabel_step(modules, self._norm_mean,
+                                            self._norm_std)
         from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
         source_size = tuple(cfg.adapt.source_dataset.feed_img_size)
         self.plabel_prep = make_plabel_prep_step(
             modules, self.thing_list, source_size,
-            geom_augment=cfg.adapt.mixup.general.geom_augment)
+            geom_augment=cfg.adapt.mixup.general.geom_augment,
+            mean=self._norm_mean, std=self._norm_std)
         self.gt_panoptic = make_gt_panoptic_step(modules, self.thing_list)
 
         self.mixup_active = cfg.adapt.mixup.general.active
@@ -109,6 +113,19 @@ class AdaptationRunner:
         # composition), eliminating all mixup host round-trips.
         self.fused_mixup = (self.mixup_active and num_mixup > 0
                             and all(s == "cut_mixup" for s in strategies))
+        if (self.mixup_active and "cut_mixup" in strategies
+                and not cfg.adapt.mixup.general.geom_augment
+                and tuple(cfg.dataset.feed_img_size) != source_size):
+            # Without the geometric warp nothing maps the target frame
+            # into the source frame, and cut composition needs equal
+            # shapes — the reference's cut_mixup has the same constraint
+            # (its boolean-mask assignment, mixup.py:317-330, requires
+            # matching cell pixel counts). Fail at build time instead of
+            # a cryptic trace error inside the (fused or host) step.
+            raise ValueError(
+                "cut_mixup with geom_augment=false requires equal "
+                f"target/source feed sizes, got "
+                f"{tuple(cfg.dataset.feed_img_size)} vs {source_size}")
         # Teacher metrics-eval folded into the adapt executable: one
         # dispatch and one upload of the target frames per adaptation
         # step instead of two (the standalone eval_step remains for the
@@ -295,6 +312,21 @@ class AdaptationRunner:
             }
         return batch
 
+    def _host_normalize(self, img) -> np.ndarray:
+        """Host-side twin of maybe_normalize for mixup composition.
+
+        The composed mixup images are float, so the jitted step's
+        device-side maybe_normalize no-ops on them — under
+        uint8_transfer the raw frames MUST be normalized here, or the
+        composition would mix normalized teacher warps into raw 0-255
+        source pixels (and train on garbage-scale images)."""
+        img = np.asarray(img)
+        if img.dtype != np.uint8:
+            return img.astype(np.float32)
+        mean = np.asarray(self._norm_mean, np.float32)
+        std = np.asarray(self._norm_std, np.float32)
+        return (img.astype(np.float32) / 255.0 - mean) / std
+
     def _compose_mixups(self, sample) -> List[Dict[str, Any]]:
         """Mixup samples: one fused device program (pseudo-labels +
         panoptic fusion + geometric warp for the whole stack), then cheap
@@ -330,7 +362,9 @@ class AdaptationRunner:
 
         composed = []
         for i, (strategy, item) in enumerate(items):
-            img_src = np.asarray(item["rgb_src"][0], np.float32)
+            # rgb_w comes back NORMALIZED (plabel_prep normalizes uint8
+            # on device); the source frame must match that scale.
+            img_src = self._host_normalize(item["rgb_src"][0])
             semantic_src = np.asarray(item["semantic_src"])
             instance_src = np.asarray(item["instance_src"])
             if strategy == "cut_mixup":
@@ -359,7 +393,12 @@ class AdaptationRunner:
         return composed
 
     def _compose_mixups_unfused(self, items) -> List[Dict[str, Any]]:
-        rgb_tgt = np.stack([np.asarray(item["rgb_tgt"][0], np.float32)
+        # Normalize on host ONCE (no-op for pre-normalized floats): the
+        # same arrays feed the teacher pseudo-label pass and the host
+        # composition, so both stay in normalized space — a raw-float
+        # cast here would make the jitted step's uint8-only
+        # maybe_normalize silently no-op on 0-255 images.
+        rgb_tgt = np.stack([self._host_normalize(item["rgb_tgt"][0])
                             for _, item in items])
         sem, center, offset = self.plabel_step(
             self.state.ema_params, self.state.ema_batch_stats,
@@ -371,6 +410,8 @@ class AdaptationRunner:
         composed = []
         for i, (strategy, item) in enumerate(items):
             data = dict(item)
+            data["rgb_tgt"] = {0: rgb_tgt[i]}
+            data["rgb_src"] = {0: self._host_normalize(item["rgb_src"][0])}
             data["semantic_pred_tgt_ema"] = sem[i]
             data["center_pred_tgt_ema"] = center[i]
             data["offset_pred_tgt_ema"] = offset[i]

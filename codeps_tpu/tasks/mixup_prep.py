@@ -58,21 +58,29 @@ def c2c_grid(intr_src: jnp.ndarray, intr_tgt: jnp.ndarray,
 
 def make_plabel_prep_step(modules: CodepsModules, thing_list,
                           src_size: tuple[int, int],
-                          geom_augment: bool = True):
+                          geom_augment: bool = True,
+                          mean=None, std=None):
     """Build the fused pseudo-label + fusion + warp program.
 
     fn(params, batch_stats, rgb_tgt (Nm, Ht, Wt, 3), intr_src (Nm, 4),
        intr_tgt (Nm, 4)) ->
       (rgb_warped (Nm, Hs, Ws, 3), semantic_warped (Nm, Hs, Ws) int32,
        instance_warped (Nm, Hs, Ws) int32) — in the source frame when
-      geom_augment, else at target resolution.
+      geom_augment, else at target resolution. The returned rgb is in
+      NORMALIZED float space; ``mean``/``std`` thread the cfg's
+      normalization constants for raw uint8 inputs.
     """
     thing_list = tuple(thing_list)
     num_classes = modules.num_classes
+    norm_kwargs = {}
+    if mean is not None:
+        norm_kwargs["mean"] = tuple(mean)
+    if std is not None:
+        norm_kwargs["std"] = tuple(std)
 
     def prep(params, batch_stats, rgb_tgt, intr_src, intr_tgt):
         from codeps_tpu.ops.normalize import maybe_normalize
-        rgb_tgt = maybe_normalize(rgb_tgt)
+        rgb_tgt = maybe_normalize(rgb_tgt, **norm_kwargs)
         feats, _ = apply_encoder(
             modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], rgb_tgt, train=False)
