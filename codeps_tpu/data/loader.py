@@ -10,6 +10,7 @@ the device fed (double buffering happens naturally via dispatch-ahead).
 from __future__ import annotations
 
 import multiprocessing
+import os
 import queue
 import random
 import threading
@@ -126,8 +127,17 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(indices)
-        # Per-host sharding (multi-process data parallel).
-        return indices[self.shard_index::self.num_shards]
+        # Per-host sharding (multi-process data parallel). Pad to a
+        # common shard length by wrapping (torch DistributedSampler
+        # semantics, which the reference's loaders inherit): unequal
+        # per-host batch counts would leave one host running an extra
+        # step whose cross-process collectives never complete — a
+        # permanent end-of-epoch deadlock.
+        if self.num_shards > 1 and len(indices) > 0:
+            total = -(-len(indices) // self.num_shards) * self.num_shards
+            indices = np.resize(indices, total)
+            return indices[self.shard_index::self.num_shards]
+        return indices
 
     def __len__(self) -> int:
         n = len(self._indices())
@@ -147,16 +157,31 @@ class DataLoader:
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # Bounded put that re-checks stop: a consumer that breaks
+            # early (max_batches caps, benches) sets stop from its
+            # finally, and a producer parked in a blocking put() on the
+            # full queue would otherwise leak the thread + its buffered
+            # batches forever.
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch_indices in batches:
                     if stop.is_set():
                         return
                     samples = [self.dataset[int(i)] for i in batch_indices]
-                    out_queue.put(collate_batch(samples, self.offsets))
-                out_queue.put(None)
+                    if not _put(collate_batch(samples, self.offsets)):
+                        return
+                _put(None)
             except BaseException as exc:  # surface worker errors
-                out_queue.put(exc)
+                _put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -195,8 +220,22 @@ class DataLoader:
             for i, batch in enumerate(batches[:window]):
                 inflight.append(pool.apply_async(
                     _mp_fetch_batch, ((batch, task_seed(i)),)))
+            # Pool silently repopulates dead workers but never completes
+            # the killed worker's task, so an untimed get() hangs
+            # forever on e.g. an OOM-killed decode. Bound it and fail
+            # loudly instead.
+            task_timeout = float(os.environ.get(
+                "CODEPS_LOADER_TASK_TIMEOUT", "600"))
             for i in range(len(batches)):
-                result = inflight.pop(0).get()
+                try:
+                    result = inflight.pop(0).get(timeout=task_timeout)
+                except multiprocessing.TimeoutError:
+                    raise RuntimeError(
+                        f"loader worker batch timed out after "
+                        f"{task_timeout:.0f}s — a forked worker likely "
+                        "died (OOM-killed?); raise "
+                        "CODEPS_LOADER_TASK_TIMEOUT if batches are "
+                        "legitimately slower") from None
                 nxt = i + window
                 if nxt < len(batches):
                     inflight.append(pool.apply_async(

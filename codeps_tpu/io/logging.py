@@ -42,7 +42,8 @@ def init_logging(log_dir: Optional[str] = None, debug: bool = False) -> None:
 
 
 def log_info(message: str, *args, **kwargs) -> None:
-    _LOGGER.info(message, *args)
+    # forward kwargs (exc_info=..., extra=...) instead of swallowing them
+    _LOGGER.info(message, *args, **kwargs)
 
 
 def log_iter(step: int, total_steps: int, metrics: Dict[str, Any],
@@ -142,7 +143,18 @@ class WandbLogger:
             entry = series.setdefault(metric, {"xs": [], "ys": {}})
             if step not in entry["xs"]:
                 entry["xs"].append(step)
-            entry["ys"].setdefault(name, []).append(value)
+            # Invariant: every per-class list stays exactly len(xs)
+            # long. A step logged twice (e.g. the final flush landing on
+            # an interval multiple) REPLACES the last point — appending
+            # would desync xs/ys and shift every per-class line; a
+            # late-appearing class is back-filled with its first value.
+            lst = entry["ys"].setdefault(name, [])
+            while len(lst) < len(entry["xs"]) - 1:
+                lst.append(value)
+            if len(lst) == len(entry["xs"]):
+                lst[-1] = value
+            else:
+                lst.append(value)
         payload = {}
         for metric, entry in series.items():
             keys = list(entry["ys"])

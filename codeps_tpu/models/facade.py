@@ -25,18 +25,37 @@ class CodepsNet:
 
     def __init__(self, modules: CodepsModules, params: Dict[str, Any],
                  batch_stats: Dict[str, Any],
-                 thing_list: Sequence[int] = (9, 10, 11, 12, 13)):
+                 thing_list: Sequence[int] = (9, 10, 11, 12, 13),
+                 rgb_mean: Sequence[float] | None = None,
+                 rgb_std: Sequence[float] | None = None,
+                 normalize: bool = True):
+        """``rgb_mean``/``rgb_std``/``normalize`` thread the checkpoint's
+        cfg.dataset.normalization for raw uint8 inputs (default:
+        ImageNet constants; ``normalize=False`` = the cfg's
+        ``active: false``, i.e. just /255). Pre-normalized float inputs
+        pass through untouched either way."""
         self.modules = modules
         self.params = params
         self.batch_stats = batch_stats
         self.thing_list = tuple(thing_list)
+        self.rgb_mean = None if rgb_mean is None else tuple(rgb_mean)
+        self.rgb_std = None if rgb_std is None else tuple(rgb_std)
+        self.normalize = normalize
         self._infer = jax.jit(self._forward, static_argnames=(
             "do_panoptic_fusion",))
 
     def _forward(self, params, batch_stats, image,
                  do_panoptic_fusion: bool = False):
         from codeps_tpu.ops.normalize import maybe_normalize
-        image = maybe_normalize(image)
+        if image.dtype == jnp.uint8 and not self.normalize:
+            image = image.astype(jnp.float32) / 255.0
+        else:
+            norm_kwargs = {}
+            if self.rgb_mean is not None:
+                norm_kwargs["mean"] = self.rgb_mean
+            if self.rgb_std is not None:
+                norm_kwargs["std"] = self.rgb_std
+            image = maybe_normalize(image, **norm_kwargs)
         feats, _ = apply_encoder(
             self.modules.backbone_po_depth, params["backbone_po_depth"],
             batch_stats["backbone_po_depth"], image, train=False)

@@ -156,8 +156,11 @@ def main():
     meters = runner.run(max_frames=args.max_frames)
 
     times = np.asarray(runner.step_times[3:] or runner.step_times)
-    log_info("Adaptation done: %.2f steps/s (mean over %d frames)",
-             1.0 / max(times.mean(), 1e-9), len(times))
+    if len(times):
+        log_info("Adaptation done: %.2f steps/s (mean over %d frames)",
+                 1.0 / max(times.mean(), 1e-9), len(times))
+    else:
+        log_info("Adaptation done: 0 frames processed (empty stream?)")
     log_info("Final mIoU: %.4f | PQ: %.4f",
              float(meters["metrics"]["sem_miou"].value),
              float(meters["metrics"]["p_pq"].value))

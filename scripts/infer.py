@@ -39,6 +39,7 @@ def parse_args():
 
 
 def list_images(spec: str) -> list[Path]:
+    import glob as globlib
     p = Path(spec)
     if p.is_dir():
         files = sorted(q for q in p.iterdir()
@@ -46,7 +47,9 @@ def list_images(spec: str) -> list[Path]:
     elif p.exists():
         files = [p]
     else:
-        files = sorted(Path(p.parent).glob(p.name))
+        # glob.glob supports wildcards in ANY path component
+        # (Path.parent.glob would take a wildcarded directory literally)
+        files = sorted(Path(m) for m in globlib.glob(spec, recursive=True))
     if not files:
         raise FileNotFoundError(f"No images match {spec!r}")
     return files
@@ -60,7 +63,7 @@ def main():
 
     from codeps_tpu.config import gen_config
     from codeps_tpu.data import get_labels
-    from codeps_tpu.io import (load_checkpoint, pretrained_from_checkpoints,
+    from codeps_tpu.io import (pretrained_from_checkpoints,
                                log_info, init_logging)
     from codeps_tpu.io.visualizations import (colorize_depth,
                                               colorize_panoptic,
@@ -85,7 +88,14 @@ def main():
         jax.random.PRNGKey(0), modules, (feed_h, feed_w))
     params, batch_stats = pretrained_from_checkpoints(
         [args.checkpoint], params, batch_stats, cfg)
-    net = CodepsNet(modules, params, batch_stats, thing_list=thing_list)
+    # Thread the checkpoint's normalization (a model trained with
+    # non-ImageNet stats or active:false would otherwise get
+    # mis-normalized input and silently wrong predictions).
+    norm = cfg.dataset.normalization
+    net = CodepsNet(modules, params, batch_stats, thing_list=thing_list,
+                    rgb_mean=tuple(norm.rgb_mean),
+                    rgb_std=tuple(norm.rgb_std),
+                    normalize=bool(norm.active))
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -99,6 +109,12 @@ def main():
             img = Image.open(f).convert("RGB").resize(
                 (feed_w, feed_h), Image.LANCZOS)
             frames.append(np.asarray(img, np.uint8))
+        # Pad a ragged final chunk to the batch size: a second batch
+        # shape would trigger a full extra XLA compile (minutes on a
+        # cold cache); the per-image loop below only reads len(chunk)
+        # rows, so padded outputs are simply dropped.
+        while len(frames) < args.batch_size:
+            frames.append(frames[-1])
         batch = jnp.asarray(np.stack(frames))  # uint8: normalized in-jit
         result = net(batch, mode="eval")
 

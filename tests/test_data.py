@@ -224,6 +224,63 @@ def test_dataloader_iterates(tmp_path):
     assert batches[0]["frames"].shape == (2, 3, 32, 48, 3)
 
 
+def test_dataloader_shards_have_equal_batch_counts():
+    # DistributedSampler-style wrap padding: unequal per-host batch
+    # counts leave one host running an extra step whose cross-process
+    # collectives never complete (end-of-epoch multi-host deadlock).
+    from codeps_tpu.data import DataLoader
+
+    class _Dummy:
+        def __len__(self):
+            return 2975  # Cityscapes train size; not divisible by 2/3/8
+
+    for num_shards in (2, 3, 8):
+        lens, all_indices = [], []
+        for shard in range(num_shards):
+            loader = DataLoader(_Dummy(), batch_size=8, offsets=[1],
+                                shuffle=True, seed=5,
+                                shard_index=shard, num_shards=num_shards)
+            idx = loader._indices()
+            lens.append(len(idx))
+            all_indices.append(idx)
+        assert len(set(lens)) == 1, lens
+        union = np.unique(np.concatenate(all_indices))
+        assert len(union) == 2975  # every sample covered despite padding
+
+
+def test_dataloader_early_stop_releases_producer():
+    # A consumer that breaks early (max_batches caps) must not leave the
+    # producer thread parked forever in a blocking queue.put.
+    import threading
+    import time
+
+    from codeps_tpu.data import DataLoader
+
+    sample = {"rgb": {0: np.zeros((4, 6, 3), np.float32),
+                      -1: np.zeros((4, 6, 3), np.float32),
+                      1: np.zeros((4, 6, 3), np.float32)},
+              "camera_model": np.ones(4, np.float32)}
+
+    class _Dummy:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return dict(sample)
+
+    loader = DataLoader(_Dummy(), batch_size=2, offsets=[1],
+                        shuffle=False, prefetch=2)
+    baseline = threading.active_count()
+    it = iter(loader)
+    next(it)
+    it.close()  # GeneratorExit -> finally -> stop.set()
+    deadline = time.time() + 10
+    while threading.active_count() > baseline and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= baseline, \
+        "producer thread still alive after consumer closed"
+
+
 def test_dataloader_multiprocess_matches_threaded(tmp_path):
     """num_workers>0 (forked worker processes, the reference's
     DataLoader(num_workers=N) equivalent) must produce the same batches
