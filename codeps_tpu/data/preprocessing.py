@@ -81,7 +81,13 @@ def prepare_for_network(output: Dict[str, Any], normalization_cfg) -> None:
     the jitted steps normalize on device (ops/normalize.py), cutting
     host->device traffic 4x.
     """
-    if normalization_cfg.get("uint8_transfer", False):
+    if normalization_cfg.get("uint8_transfer", False) \
+            and normalization_cfg.active:
+        # uint8_transfer presumes the device-side mean/std
+        # standardization (ops/normalize.py standardizes every uint8
+        # input); with normalization active:false fall through to the
+        # float [0,1] path so the pure-transport flag can never change
+        # what the model sees.
         for offset, img in output["rgb"].items():
             output["rgb"][offset] = np.asarray(img, np.uint8)
         return
@@ -146,7 +152,11 @@ def _match_cumulative_cdf(source: np.ndarray,
     interp = np.interp(src_quantiles, tmpl_quantiles, tmpl_values)
     matched = interp[src_unique_indices].reshape(source.shape)
     if source.dtype == np.uint8:
-        matched = np.rint(matched).clip(0, 255).astype(np.uint8)
+        # skimage assigns the float result into an empty uint8 array —
+        # a C-cast TRUNCATION, not rounding (exposure/histogram_matching
+        # .py: matched[..., channel] = matched_channel). Mirror that for
+        # bit-parity with the reference's style transfer.
+        matched = matched.clip(0, 255).astype(np.uint8)
     return matched
 
 
@@ -184,14 +194,25 @@ def transfer_histogram_style(img: Image.Image, reference_img: Image.Image,
 def is_low_contrast(image, fraction_threshold: float = 0.05,
                     lower_percentile: float = 1,
                     upper_percentile: float = 99) -> bool:
-    """skimage.exposure.is_low_contrast parity for RGB/gray uint8/float."""
+    """skimage.exposure.is_low_contrast parity for RGB/gray uint8/float.
+
+    skimage normalizes the percentile spread by the image's dtype range
+    AFTER any gray conversion: rgb2gray yields float, whose
+    dtype_limits(clip_negative=False) span is (-1, 1) = 2 — so RGB
+    input compares spread/2 (NOT the raw spread) against the
+    threshold; uint8 grayscale compares spread/255.
+    """
     image = np.asarray(image)
     if image.ndim == 3 and image.shape[2] in (3, 4):
         image = image[..., :3]
         if image.dtype == np.uint8:
             image = image.astype(np.float64) / 255.0
         image = image @ _GRAY_WEIGHTS
+        dtype_range = 2.0
     elif image.dtype == np.uint8:
-        image = image.astype(np.float64) / 255.0
+        image = image.astype(np.float64)
+        dtype_range = 255.0
+    else:
+        dtype_range = 2.0
     limits = np.percentile(image, [lower_percentile, upper_percentile])
-    return bool((limits[1] - limits[0]) < fraction_threshold)
+    return bool((limits[1] - limits[0]) / dtype_range < fraction_threshold)

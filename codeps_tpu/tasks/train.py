@@ -147,9 +147,8 @@ def make_loss_fn(modules: CodepsModules, cfg, class_weights,
             # (semantic_seg.py:173-179).
             masked = sem_probs
             if sem_ignore_classes:
-                neg = jnp.full_like(sem_probs, -jnp.inf)
                 for cls in sem_ignore_classes:
-                    masked = masked.at[..., cls].set(neg[..., cls])
+                    masked = masked.at[..., cls].set(-jnp.inf)
             sem_pred = jnp.argmax(
                 jax.lax.stop_gradient(masked), axis=-1).astype(jnp.int32)
             if use_phase:

@@ -210,8 +210,23 @@ def main():
 
     class_weights = [w for i, w in enumerate(cfg.semantics.class_weights)
                      if i not in cfg.dataset.remove_classes]
+    assert len(class_weights) == num_classes, (
+        f"semantics.class_weights ({len(cfg.semantics.class_weights)} "
+        f"entries, {len(class_weights)} after remove_classes) must match "
+        f"the {num_classes} classes of label_mode="
+        f"{cfg.dataset.label_mode!r} — set it in the YAML like "
+        "cfg/train_cityscapes.yaml does (a broadcast error deep inside "
+        "the jitted loss otherwise)")
+    # frozen_modules restricts autodiff to live modules (the optimizer
+    # mask alone would still pay the full frozen backward); the ignore
+    # classes keep train-time CE/argmax + sem_conf consistent with
+    # run_validation's exclusions.
+    ignore_classes = list(train_dataset.ignore_classes)
     train_step = make_train_step(modules, cfg, tx, class_weights,
-                                 num_classes=num_classes)
+                                 num_classes=num_classes,
+                                 sem_ignore_classes=ignore_classes or None,
+                                 eval_ignore_classes=ignore_classes,
+                                 frozen_modules=frozen)
 
     state = replicate(state, mesh)
 
