@@ -29,6 +29,23 @@ def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return sorted_vals[idx]
 
 
+def _depth_stats(gt: jnp.ndarray, pred: jnp.ndarray,
+                 masked_mean) -> Dict[str, jnp.ndarray]:
+    """The 7 Monodepth2 stat formulas (eval/depth.py:109-131), shared by
+    the batch and per-class variants so a formula fix lands once."""
+    thresh = jnp.maximum(gt / pred, pred / gt)
+    return {
+        "a1": masked_mean((thresh < 1.25).astype(jnp.float32)),
+        "a2": masked_mean((thresh < 1.25 ** 2).astype(jnp.float32)),
+        "a3": masked_mean((thresh < 1.25 ** 3).astype(jnp.float32)),
+        "rmse": jnp.sqrt(masked_mean((gt - pred) ** 2)),
+        "rmse_log": jnp.sqrt(masked_mean(
+            (jnp.log(gt) - jnp.log(pred)) ** 2)),
+        "abs_rel": masked_mean(jnp.abs(gt - pred) / gt),
+        "sq_rel": masked_mean((gt - pred) ** 2 / gt),
+    }
+
+
 def compute_depth_metrics(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
                           use_gt_scale: bool = True,
                           depth_ranges: Tuple[float, float] = (0.1, 80.0),
@@ -76,18 +93,22 @@ def compute_depth_metrics(depth_gt: jnp.ndarray, depth_pred: jnp.ndarray,
     def masked_mean(x):
         return jnp.sum(jnp.where(mask_flat, x, 0.0), axis=1) / count
 
-    thresh = jnp.maximum(gt / pred, pred / gt)
-    stats = {
-        "d_a1": masked_mean((thresh < 1.25).astype(jnp.float32)),
-        "d_a2": masked_mean((thresh < 1.25 ** 2).astype(jnp.float32)),
-        "d_a3": masked_mean((thresh < 1.25 ** 3).astype(jnp.float32)),
-        "d_rmse": jnp.sqrt(masked_mean((gt - pred) ** 2)),
-        "d_rmse_log": jnp.sqrt(
-            masked_mean((jnp.log(gt) - jnp.log(pred)) ** 2)),
-        "d_abs_rel": masked_mean(jnp.abs(gt - pred) / gt),
-        "d_sq_rel": masked_mean((gt - pred) ** 2 / gt),
-    }
-    return {key: jnp.mean(value) for key, value in stats.items()}
+    stats = _depth_stats(gt, pred, masked_mean)
+    # Average only over frames that have ANY valid GT: a frame with no
+    # GT depth would otherwise contribute exactly 0 to every metric and
+    # silently dilute the batch mean (the torch reference fails loudly
+    # on an empty median instead). All-empty batches return NaN — the
+    # same convention as the per-class variant; meter updates skip NaN.
+    valid_frame = jnp.sum(mask_flat, axis=1) > 0
+    n_valid = jnp.maximum(jnp.sum(valid_frame), 1)
+    any_valid = jnp.any(valid_frame)
+    nan = jnp.asarray(jnp.nan, jnp.float32)
+
+    def batch_mean(value):
+        mean = jnp.sum(jnp.where(valid_frame, value, 0.0)) / n_valid
+        return jnp.where(any_valid, mean, nan)
+
+    return {f"d_{key}": batch_mean(value) for key, value in stats.items()}
 
 
 def compute_depth_metrics_per_class(depth_gt, depth_pred, semantic_gt,
@@ -132,21 +153,9 @@ def compute_depth_metrics_per_class(depth_gt, depth_pred, semantic_gt,
         def masked_mean(x, mask=mask, safe_count=safe_count):
             return jnp.sum(jnp.where(mask, x, 0.0)) / safe_count
 
-        thresh = jnp.maximum(gt_c / pred_c, pred_c / gt_c)
         nan = jnp.asarray(jnp.nan, jnp.float32)
         empty = count == 0
-        cls_stats = {
-            f"d_a1_c{cls}": masked_mean((thresh < 1.25).astype(jnp.float32)),
-            f"d_a2_c{cls}": masked_mean(
-                (thresh < 1.25 ** 2).astype(jnp.float32)),
-            f"d_a3_c{cls}": masked_mean(
-                (thresh < 1.25 ** 3).astype(jnp.float32)),
-            f"d_rmse_c{cls}": jnp.sqrt(masked_mean((gt_c - pred_c) ** 2)),
-            f"d_rmse_log_c{cls}": jnp.sqrt(masked_mean(
-                (jnp.log(gt_c) - jnp.log(pred_c)) ** 2)),
-            f"d_abs_rel_c{cls}": masked_mean(jnp.abs(gt_c - pred_c) / gt_c),
-            f"d_sq_rel_c{cls}": masked_mean((gt_c - pred_c) ** 2 / gt_c),
-        }
-        stats.update({key: jnp.where(empty, nan, value)
+        cls_stats = _depth_stats(gt_c, pred_c, masked_mean)
+        stats.update({f"d_{key}_c{cls}": jnp.where(empty, nan, value)
                       for key, value in cls_stats.items()})
     return stats

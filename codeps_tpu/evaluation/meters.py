@@ -18,6 +18,14 @@ class Meter:
         return {key: getattr(self, key) for key in self._STATE}
 
     def load_state_dict(self, state: dict) -> None:
+        # Reference parity (eval/meters.py:30-35): an unexpected key is
+        # a KeyError — a renamed/partial checkpoint must fail at load
+        # time, not silently resume with zeroed state.
+        for key in state:
+            if key not in self._STATE:
+                raise KeyError(
+                    f"Unexpected key {key!r} in state dict when loading "
+                    f"{type(self).__name__}")
         for key in self._STATE:
             if key in state:
                 setattr(self, key, state[key])
@@ -75,8 +83,13 @@ class PanopticMeter(AverageMeter):
         super().__init__((4, num_classes), momentum)
 
     def panoptic(self):
+        # Reference parity (eval/meters.py:104-106): NO denominator
+        # clamp — a never-observed class is 0/0 = NaN, which propagates
+        # through the mean and SIGNALS the condition instead of
+        # silently deflating the average with a fabricated PQ of 0.
         denom = self.sum[1] + 0.5 * self.sum[2] + 0.5 * self.sum[3]
-        return self.sum[0] / np.maximum(denom, 1e-8)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return self.sum[0] / denom
 
     @property
     def value(self):

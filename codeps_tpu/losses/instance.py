@@ -7,6 +7,7 @@ Parity targets: CenterLoss / OffsetLoss / BinaryMaskLoss
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from codeps_tpu.losses.semantic import cross_entropy_per_pixel
@@ -46,6 +47,5 @@ def ema_consistency_loss(prediction: jnp.ndarray,
     Parity: the center/offset EMA consistency terms in
     InstanceSegAlgo.adaptation (/root/reference/algos/instance_seg.py:162-173).
     """
-    import jax
     return jnp.mean(-jax.nn.sigmoid(prediction)
                     * jnp.log(jax.nn.sigmoid(ema_prediction) + 1e-10))

@@ -46,6 +46,31 @@ def cross_entropy_per_pixel(
     return jnp.where(valid, nll, 0.0)
 
 
+def _apply_ignore_labels(prediction, target, class_weights, ignore_labels,
+                         ignore_index):
+    """Shared ignore-label semantics for both semantic losses
+    (semantic_seg.py:50-57): targets of ignored classes remap to
+    ignore_index, the ignored PREDICTION channels are dropped, and
+    class_weights are filtered to the preserved channels.
+
+    The reference does NOT renumber the remaining targets — labels above
+    a dropped channel address the compacted tensor. One deviation: a
+    surviving target >= the compacted channel count raises IndexError in
+    torch, while our one_hot encodes it as all-zeros (contributing 0
+    loss) — data-dependent errors don't trace under jit, so
+    misconfigured ignore_labels fail softly here instead of loudly.
+    """
+    for ignore_label in ignore_labels:
+        target = jnp.where(target == ignore_label, ignore_index, target)
+    preserved = [c for c in range(prediction.shape[-1])
+                 if c not in ignore_labels]
+    prediction = prediction[..., jnp.asarray(preserved)]
+    if class_weights is not None:
+        class_weights = [w for label, w in enumerate(class_weights)
+                         if label not in ignore_labels]
+    return prediction, target, class_weights
+
+
 def semantic_loss(
     prediction: jnp.ndarray,
     target: jnp.ndarray,
@@ -79,17 +104,8 @@ def semantic_loss(
         prediction = prediction.astype(dtype)
         pixel_weights = pixel_weights.astype(dtype)
     if ignore_labels:
-        for ignore_label in ignore_labels:
-            target = jnp.where(target == ignore_label, ignore_index, target)
-        preserved = [c for c in range(prediction.shape[-1])
-                     if c not in ignore_labels]
-        # The reference drops prediction channels but does NOT renumber the
-        # remaining targets (semantic_seg.py:50-57) — labels above a dropped
-        # channel address the compacted tensor. Mirrored exactly.
-        prediction = prediction[..., jnp.asarray(preserved)]
-        if class_weights is not None:
-            class_weights = [w for label, w in enumerate(class_weights)
-                             if label not in ignore_labels]
+        prediction, target, class_weights = _apply_ignore_labels(
+            prediction, target, class_weights, ignore_labels, ignore_index)
 
     weights_arr = None
     if class_weights is not None:
@@ -134,18 +150,12 @@ def semantic_consistency_loss(
         pixel_weights = (entropy.max() - entropy) / entropy.max()
         pred = target_probs
         tgt = target_labels
+        cw_list = class_weights
         if ignore_labels:
-            for ignore_label in ignore_labels:
-                tgt = jnp.where(tgt == ignore_label, ignore_index, tgt)
-            preserved = [c for c in range(pred.shape[-1])
-                         if c not in ignore_labels]
-            pred = pred[..., jnp.asarray(preserved)]
+            pred, tgt, cw_list = _apply_ignore_labels(
+                pred, tgt, cw_list, ignore_labels, ignore_index)
         cw = None
-        if class_weights is not None:
-            cw_list = class_weights
-            if ignore_labels:
-                cw_list = [w for label, w in enumerate(class_weights)
-                           if label not in ignore_labels]
+        if cw_list is not None:
             cw = jnp.asarray(cw_list, dtype=pred.dtype)
         loss = cross_entropy_per_pixel(pred, tgt, cw, ignore_index)
         loss = loss * pixel_weights

@@ -51,8 +51,12 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
 
     if padding_mode == "zeros":
         if mode == "nearest":
-            ix = jnp.floor(x + 0.5)
-            iy = jnp.floor(y + 0.5)
+            # torch nearest uses std::nearbyint = round-half-to-EVEN
+            # (verified vs torch CPU at exactly-representable .5 coords:
+            # x=[0.5,1.5,2.5,3.5] -> pixels [0,2,2,4]); jnp.round
+            # matches. floor(x+0.5) would shift every exact tie by +1.
+            ix = jnp.round(x)
+            iy = jnp.round(y)
             inside = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) & (iy <= h - 1))
             ix = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
             iy = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
@@ -117,11 +121,11 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
         return top * (1.0 - wy) + bottom * wy
 
     if mode == "nearest":
-        # torch rounds half away from zero here only for exact .5 after
-        # unnormalize; jnp.round does banker's rounding. Match torch by
-        # floor(x + 0.5) (coordinates are non-negative after clipping).
-        ix = jnp.clip(jnp.floor(x + 0.5), 0, w - 1).astype(jnp.int32)
-        iy = jnp.clip(jnp.floor(y + 0.5), 0, h - 1).astype(jnp.int32)
+        # torch nearest uses std::nearbyint = round-half-to-EVEN
+        # (verified vs torch CPU at exactly-representable .5 coords);
+        # jnp.round matches that tie-break exactly.
+        ix = jnp.clip(jnp.round(x), 0, w - 1).astype(jnp.int32)
+        iy = jnp.clip(jnp.round(y), 0, h - 1).astype(jnp.int32)
         return _gather_2d(img, iy, ix)
 
     raise ValueError(f"Unsupported mode: {mode}")

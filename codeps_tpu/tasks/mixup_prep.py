@@ -117,8 +117,10 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
         th, tw = tgt_size
         ux = _unnormalize(grid[..., 0], tw)
         uy = _unnormalize(grid[..., 1], th)
-        rx = jnp.floor(ux + 0.5)
-        ry = jnp.floor(uy + 0.5)
+        # round-half-to-even, in lockstep with grid_sample's nearest
+        # tie-break (torch nearbyint semantics)
+        rx = jnp.round(ux)
+        ry = jnp.round(uy)
         inside = ((rx >= 0) & (rx <= tw - 1) & (ry >= 0) & (ry <= th - 1))
         pair = jnp.stack([instance.astype(jnp.float32),
                           sem_pred.astype(jnp.float32)], axis=-1)

@@ -160,6 +160,26 @@ def test_grid_sample_matches_torch(mode, padding_mode):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_grid_sample_nearest_half_tie_matches_torch(padding_mode):
+    # torch nearest uses std::nearbyint = round-half-to-EVEN; exact .5
+    # source coordinates (exactly representable with w=5: x=(u+1)*2 for
+    # u in {-0.75,-0.25,0.25,0.75}) must pick pixels [0,2,2,4], not the
+    # floor(x+0.5) answers [1,2,3,4].
+    width = 5
+    img = np.arange(width, dtype=np.float32).reshape(1, 1, 1, width)
+    us = np.array([-0.75, -0.25, 0.25, 0.75], np.float32)
+    grid = np.array([[[[u, -1.0] for u in us]]], np.float32)
+    ref = torch.nn.functional.grid_sample(
+        torch.tensor(img), torch.tensor(grid), mode="nearest",
+        padding_mode=padding_mode, align_corners=True).numpy().ravel()
+    np.testing.assert_array_equal(ref, [0.0, 2.0, 2.0, 4.0])
+    ours = grid_sample(
+        jnp.asarray(img.transpose(0, 2, 3, 1)), jnp.asarray(grid),
+        mode="nearest", padding_mode=padding_mode)
+    np.testing.assert_array_equal(np.asarray(ours).ravel(), ref)
+
+
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
 def test_warp_image_matches_reference(mode):
     batch, height, width = 2, 12, 18
