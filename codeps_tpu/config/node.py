@@ -94,36 +94,62 @@ class ConfigNode:
     def is_frozen(self) -> bool:
         return self._frozen
 
-    def merge_from_dict(self, other: Dict[str, Any]) -> "ConfigNode":
-        """Recursively merge ``other`` into this node (new keys allowed)."""
+    def merge_from_dict(self, other: Dict[str, Any],
+                        strict: bool = False,
+                        _path: str = "") -> "ConfigNode":
+        """Recursively merge ``other`` into this node.
+
+        ``strict=True`` raises KeyError on keys absent from this tree
+        (yacs ``merge_from_file`` semantics — a typo'd override must
+        fail loudly, not silently train with the default); the default
+        permissive mode is for building the trees themselves.
+        """
         if self._frozen:
             raise AttributeError("ConfigNode is frozen; cannot merge")
         for key, value in other.items():
+            full = f"{_path}.{key}" if _path else key
+            if strict and key not in self._data:
+                raise KeyError(f"Non-existent config key: {full}")
             if (
                 key in self._data
                 and isinstance(self._data[key], ConfigNode)
                 and isinstance(value, (dict, ConfigNode))
             ):
                 sub = value.to_dict() if isinstance(value, ConfigNode) else value
-                self._data[key].merge_from_dict(sub)
+                self._data[key].merge_from_dict(sub, strict=strict,
+                                                _path=full)
             else:
                 self[key] = copy.deepcopy(
                     value.to_dict() if isinstance(value, ConfigNode) else value)
         return self
 
     def merge_from_file(self, path: str) -> "ConfigNode":
+        """Strict merge of a user YAML (yacs parity: unknown keys raise)."""
         with open(path, "r", encoding="utf-8") as handle:
             overrides = yaml.safe_load(handle) or {}
-        return self.merge_from_dict(overrides)
+        return self.merge_from_dict(overrides, strict=True)
 
     def merge_from_list(self, opts: list) -> "ConfigNode":
-        """Merge from a flat ``["a.b.c", value, ...]`` list (CLI overrides)."""
+        """Merge from a flat ``["a.b.c", value, ...]`` list (CLI overrides).
+
+        String values are literal-evaluated like yacs (argv delivers
+        strings; storing '0.001' verbatim would poison typed leaves),
+        falling back to the raw string for plain words.
+        """
+        import ast
         assert len(opts) % 2 == 0, "Override list must be key/value pairs"
         for key, value in zip(opts[0::2], opts[1::2]):
             node = self
             parts = key.split(".")
             for part in parts[:-1]:
                 node = node[part]
+            if parts[-1] not in node:
+                raise KeyError(f"Non-existent config key: {key}")
+            if isinstance(value, str):
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass  # plain strings (names, paths) stay strings
             node[parts[-1]] = value
         return self
 

@@ -104,10 +104,13 @@ def colorize_panoptic(panoptic: np.ndarray, remove_classes=(),
         mask = panoptic == pan_id
         jitter = rng.integers(-40, 40, 3)
         out[mask] = np.clip(out[mask].astype(int) + jitter, 0, 255)
-        # boundary: pixels whose 4-neighborhood leaves the instance
+        # boundary: pixels whose 4-neighborhood leaves the instance.
+        # Edge-padded shifts (np.roll would wrap top<->bottom /
+        # left<->right and mis-outline border-touching instances).
+        padded = np.pad(mask, 1, mode="edge")
         boundary = mask & ~(
-            np.roll(mask, 1, 0) & np.roll(mask, -1, 0)
-            & np.roll(mask, 1, 1) & np.roll(mask, -1, 1))
+            padded[:-2, 1:-1] & padded[2:, 1:-1]
+            & padded[1:-1, :-2] & padded[1:-1, 2:])
         out[boundary] = (255, 255, 255)
     return out
 
@@ -116,9 +119,10 @@ def plot_confusion_matrix(conf_mat: np.ndarray, remove_classes=(),
                           label_mode: str = "codeps"):
     """Normalized confusion-matrix figure
     (io_utils/visualizations.py:172-...)."""
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
+    # matplotlib.figure.Figure directly: a pyplot-managed figure would
+    # sit in the global figure registry forever (one leak per logging
+    # interval) unless every caller remembered plt.close().
+    from matplotlib.figure import Figure
 
     labels = get_labels(list(remove_classes), label_mode)
     names = [label.name for label in labels]
@@ -127,7 +131,8 @@ def plot_confusion_matrix(conf_mat: np.ndarray, remove_classes=(),
     norm = np.divide(mat, row_sum, out=np.zeros_like(mat),
                      where=row_sum > 0)
 
-    fig, ax = plt.subplots(figsize=(8, 7))
+    fig = Figure(figsize=(8, 7))
+    ax = fig.subplots()
     im = ax.imshow(norm, cmap="viridis", vmin=0, vmax=1)
     ax.set_xticks(range(len(names)))
     ax.set_yticks(range(len(names)))
@@ -145,8 +150,9 @@ def gen_visualizations(sample: Dict, results: Dict, rgb_mean, rgb_std,
                        max_count: int = 5) -> Dict[str, np.ndarray]:
     """Panel dict for one batch (io_utils/visualizations.py:14-170)."""
     panels: Dict[str, np.ndarray] = {}
-    count = 0
-    frames = np.asarray(sample.get("frames"))
+    frames = sample.get("frames")
+    if frames is not None:
+        frames = np.asarray(frames)  # asarray(None) would defeat the guards
     batch = frames.shape[0] if frames is not None else 1
     for b in range(min(batch, max_count)):
         prefix = f"{b}"
@@ -175,5 +181,4 @@ def gen_visualizations(sample: Dict, results: Dict, rgb_mean, rgb_std,
             panels[f"panoptic_{prefix}"] = colorize_panoptic(
                 np.asarray(results["panoptic"])[b], remove_classes,
                 label_mode)
-        count += 1
     return panels

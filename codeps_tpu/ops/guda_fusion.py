@@ -68,6 +68,10 @@ def _phase_pattern(r: int, mode: str = "bilinear") -> np.ndarray:
     floor(p/r) (upsample_nearest_2x and friends); the u = -1 row maps
     to input -1, which replicate padding also reproduces.
     """
+    # r=1 bilinear would index n0+2 == 3 out of the 3-tap axis (t=0,
+    # d=1 -> rel=1.0); callers wanting no upsample use the same-res
+    # conv paths instead of r=1 here.
+    assert r >= 2, f"phase upsample requires r >= 2, got r={r}"
     pattern = np.zeros((3, r, 3), np.float32)
     for d in (-1, 0, 1):
         for t in range(r):
