@@ -141,7 +141,15 @@ class SemKittiDvps(Dataset):
                     semantic_weights[instance_city == instance_id] = \
                         self.small_instance_weight
 
-            offset, center = self.get_offset_center(instance_city)
+            # Reference quirk preserved: SemKITTI calls the static
+            # helper WITHOUT self.sigma/self.gaussian
+            # (sem_kitti_dvps.py:168), so its center heatmaps always use
+            # the default sigma=8 even when center_heatmap_sigma is
+            # configured differently (Cityscapes/KITTI-360 pass the
+            # configured values explicitly).
+            from codeps_tpu.data.dataset import \
+                get_offset_center as _default_offset_center
+            offset, center = _default_offset_center(instance_city)
 
             center_weights = np.ones_like(center, dtype=np.uint8)
             center_weights[semantic_city == 255] = 0
@@ -155,8 +163,9 @@ class SemKittiDvps(Dataset):
                 "offset": offset,
                 "offset_weights": offset_weights,
                 # Reference re-uses offset_weights as the thing mask here
-                # (sem_kitti_dvps.py:185).
-                "thing_mask": offset_weights,
+                # (sem_kitti_dvps.py:185); collate/loss contract is
+                # (H, W) like the other loaders, so drop the channel dim.
+                "thing_mask": offset_weights[..., 0],
                 "instance": instance_city.astype(np.int32),
             })
 

@@ -12,6 +12,7 @@
 // plain C ABI, no pybind11.
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
@@ -86,8 +87,14 @@ void simindex_search(void* handle, int64_t nq, const float* queries,
       scored[i] = {dot(query, index->row(i), index->dim), index->ids[i]};
     }
     const int64_t kk = std::min(k, n);
+    // NaN-aware comparator: plain `a > b` violates strict weak
+    // ordering when scores are NaN (diverged-model feature vectors),
+    // which is UB in partial_sort. NaNs sort after every number.
     std::partial_sort(scored.begin(), scored.begin() + kk, scored.end(),
                       [](const auto& a, const auto& b) {
+                        const bool an = std::isnan(a.first);
+                        const bool bn = std::isnan(b.first);
+                        if (an || bn) return bn && !an;
                         return a.first > b.first;
                       });
     for (int64_t j = 0; j < k; ++j) {
@@ -104,22 +111,29 @@ void simindex_search(void* handle, int64_t nq, const float* queries,
 
 int64_t simindex_remove_ids(void* handle, int64_t n, const int64_t* ids) {
   auto* index = static_cast<SimIndex*>(handle);
+  // Remove EVERY row whose id matches — faiss remove_ids and the numpy
+  // fallback's isin() semantics (first-match-only would leave stale
+  // duplicates in this backend but not the other). Stable single-pass
+  // compaction preserves insertion order.
+  int64_t write = 0;
   int64_t removed = 0;
-  for (int64_t j = 0; j < n; ++j) {
-    for (int64_t i = 0; i < index->size(); ++i) {
-      if (index->ids[i] == ids[j]) {
-        const int64_t last = index->size() - 1;
-        // faiss compacts by shifting; order does not matter for the
-        // buffer's use, but keep stable order for determinism.
-        index->ids.erase(index->ids.begin() + i);
-        index->data.erase(index->data.begin() + i * index->dim,
-                          index->data.begin() + (i + 1) * index->dim);
-        (void)last;
-        ++removed;
-        break;
-      }
+  const int64_t total = index->size();
+  for (int64_t i = 0; i < total; ++i) {
+    bool match = false;
+    for (int64_t j = 0; j < n; ++j) {
+      if (index->ids[i] == ids[j]) { match = true; break; }
     }
+    if (match) { ++removed; continue; }
+    if (write != i) {
+      index->ids[write] = index->ids[i];
+      std::memmove(index->data.data() + write * index->dim,
+                   index->data.data() + i * index->dim,
+                   index->dim * sizeof(float));
+    }
+    ++write;
   }
+  index->ids.resize(write);
+  index->data.resize(write * index->dim);
   return removed;
 }
 

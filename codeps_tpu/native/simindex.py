@@ -30,9 +30,12 @@ def _load_library():
         if _LIB is not None or _LIB_FAILED:
             return _LIB
         try:
-            if not _LIB_PATH.exists():
-                subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                               capture_output=True)
+            # Always invoke make: it is a no-op when the .so is up to
+            # date, and consults the Makefile's cpp dependency — gating
+            # on _LIB_PATH.exists() would silently keep loading a stale
+            # binary after simindex.cpp changes.
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                           capture_output=True)
             lib = ctypes.CDLL(str(_LIB_PATH))
         except (OSError, subprocess.CalledProcessError):
             _LIB_FAILED = True
@@ -114,6 +117,8 @@ class SimIndex:
         queries = np.ascontiguousarray(queries, np.float32)
         if queries.ndim == 1:
             queries = queries[None]
+        assert queries.shape[1] == self.dim, (
+            f"query width {queries.shape[1]} != index dim {self.dim}")
         nq = queries.shape[0]
         if self._lib is not None:
             scores = np.empty((nq, k), np.float32)
