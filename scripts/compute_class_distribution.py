@@ -45,6 +45,9 @@ def main():
     images_num_pixels = defaultdict(dict)
 
     for index in range(len(dataset)):
+        # Full __getitem__ also decodes+resizes RGB and builds GT maps
+        # that we discard — acceptable for this run-once-per-dataset
+        # script; only sample["semantic"] is consumed below.
         sample = dataset.__getitem__(index, do_network_preparation=False,
                                      do_augmentation=False)
         semantic = np.asarray(sample["semantic"])

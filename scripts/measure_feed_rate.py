@@ -17,7 +17,7 @@ consumed / per-core-rate is the honest sizing statement for a real
 multi-core TPU host.
 
 Usage:
-  python scripts/measure_feed_rate.py [--frames 24] [--batch 6]
+  python scripts/measure_feed_rate.py [--frames N] [--batch 6]
       [--workers 0 2] [--consumed 11.99]
 Prints one JSON line.
 """
@@ -35,35 +35,46 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def measure(loader, min_batches: int, warmup: int) -> tuple[int, float]:
-    """Steady-state images/s over >= min_batches, looping epochs.
+    """Steady-state images/s over min_batches within ONE epoch.
 
     The first ``warmup`` batches are excluded AND must exceed the
     loader's in-flight window (num_workers + prefetch): the window
     pre-computes batches during warmup, so counting fewer batches than
-    the window measures pipelining, not throughput.
+    the window measures pipelining, not throughput. The whole
+    measurement must fit in one epoch — epoch boundaries re-fork the
+    worker pool and refill the pipeline, which would be timed.
     """
+    if len(loader) == 0:
+        raise SystemExit(
+            f"loader yields 0 batches (dataset smaller than batch size "
+            f"{loader.batch_size} with drop_last) — raise --frames")
+    if len(loader) < warmup + min_batches:
+        raise SystemExit(
+            f"one epoch is {len(loader)} batches but the measurement "
+            f"needs warmup({warmup}) + timed({min_batches}) in a SINGLE "
+            "epoch: crossing an epoch boundary re-forks the worker pool "
+            "and refills the pipeline inside the timed window, "
+            "understating the fed rate — raise --frames")
     images = 0
     start = None
     seen = 0
-    epoch = 0
-    while seen < warmup + min_batches:
-        loader.set_epoch(epoch)
-        for batch in loader:
-            seen += 1
-            if seen == warmup:
-                start = time.perf_counter()
-            elif seen > warmup:
-                images += batch["frames"].shape[0]
-            if seen >= warmup + min_batches:
-                break
-        epoch += 1
+    for batch in loader:
+        seen += 1
+        if seen == warmup:
+            start = time.perf_counter()
+        elif seen > warmup:
+            images += batch["frames"].shape[0]
+        if seen >= warmup + min_batches:
+            break
     return images, time.perf_counter() - start
 
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--frames", type=int, default=24,
-                        help="synthetic center frames (dataset length)")
+    parser.add_argument("--frames", type=int, default=None,
+                        help="synthetic center frames (dataset length); "
+                             "default: enough for warmup + timed batches "
+                             "in one epoch")
     parser.add_argument("--batch", type=int, default=6,
                         help="per-host batch size (train_cityscapes: 6/chip"
                              ", 48 global on v5e-8)")
@@ -79,6 +90,11 @@ def main() -> None:
     args = parser.parse_args()
     raw_h, raw_w = (int(v) for v in args.raw.split("x"))
     feed_h, feed_w = (int(v) for v in args.feed.split("x"))
+    if args.frames is None:
+        # One epoch must cover warmup + timed batches for every worker
+        # setting (epoch boundaries re-fork the pool mid-measurement).
+        max_warmup = max(args.workers) + 2 + 1  # prefetch default 2
+        args.frames = args.batch * (max_warmup + args.batches + 1)
 
     from codeps_tpu.config import get_cfg_defaults
     from codeps_tpu.data import Cityscapes, DataLoader

@@ -57,9 +57,11 @@ Writes PARITY_ADAPT.md; exits non-zero if variant A or C exceed
  tolerance.
 """
 
+import atexit
 import contextlib
 import functools
 import os
+import shutil
 import sys
 import tempfile
 import types
@@ -471,7 +473,9 @@ def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed):
         for name in ("backbone_po_depth", "backbone_pose_sflow",
                      "depth_head", "pose_head", "semantic_head",
                      "instance_head")}}
-    ckpt_path = Path(tempfile.mkdtemp(prefix="parity_adapt_")) / "w.pth"
+    ckpt_dir = Path(tempfile.mkdtemp(prefix="parity_adapt_"))
+    atexit.register(shutil.rmtree, str(ckpt_dir), ignore_errors=True)
+    ckpt_path = ckpt_dir / "w.pth"
     torch.save(ckpt, str(ckpt_path))
 
     optimizer = torch.optim.Adam(model.parameters(),
@@ -582,6 +586,12 @@ def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path):
 
     things = tuple(thing_classes("codeps", []))
     eval_forward = build_eval_forward(modules, cfg, things, ())
+    # The noise-zeroing patch must stay live through the FIRST step()
+    # call: jax.jit traces lazily, and _depth_domain resolves the
+    # module-global reconstruction_loss at TRACE time — restoring the
+    # original right after make_adapt_step (which traces nothing) would
+    # leave the 1e-5 automask tie-break noise active on the jax side
+    # while the torch side's randn is zeroed.
     orig_recon = adapt_mod.reconstruction_loss
     adapt_mod.reconstruction_loss = functools.partial(
         reconstruction_loss, identity_noise_scale=0.0)
@@ -593,9 +603,15 @@ def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path):
             has_replay=True, num_mixup=NM if with_mixup else 0,
             fused_cut_mixup=with_mixup, sem_ignore_classes=None,
             donate=False, eval_forward=eval_forward)
+        state, records = _run_jax_frames(step, state, frames, nsteps,
+                                         with_mixup)
     finally:
         adapt_mod.reconstruction_loss = orig_recon
+    return state, records
 
+
+def _run_jax_frames(step, state, frames, nsteps, with_mixup):
+    import jax.numpy as jnp
     records = []
     for frame in frames:
         batch = {
@@ -834,8 +850,11 @@ def run(num_frames=3, out_md="PARITY_ADAPT.md", variants=("A", "B", "C")):
             "train-mode-BN fold deviation)", freeze_pose=False,
             num_frames=num_frames, nsteps=1, with_mixup=True), False))
     if "C" in variants:
+        # One frame fewer than A/B keeps the 3-steps-per-frame variant's
+        # wall-clock comparable while still honoring the caller's knob.
         results.append((run_variant(torch, "C nof_adaptation_steps=3",
-                                    freeze_pose=True, num_frames=2,
+                                    freeze_pose=True,
+                                    num_frames=max(num_frames - 1, 1),
                                     nsteps=3, with_mixup=False), True))
 
     lines = [

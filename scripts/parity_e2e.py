@@ -303,6 +303,10 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
     torch.manual_seed(seed)
 
     tmp = tree_root or tempfile.mkdtemp(prefix="parity_e2e_")
+    if tree_root is None:
+        import atexit
+        import shutil
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     root = make_kitti360_tree(Path(tmp) / "k360", num_frames=num_frames,
                               width=feed_size[1] * 2,
                               height=feed_size[0] * 2, seed=seed)
