@@ -45,7 +45,11 @@ def _baseline_for_devices() -> float:
     return BASELINE_STEPS_PER_SEC * len(jax.devices()) / BASELINE_CHIPS
 
 
-def _differential_elapsed(timed, num_steps, warmup=3, profile=False):
+LAST_COMPILE_SECONDS = {}
+
+
+def _differential_elapsed(timed, num_steps, warmup=3, profile=False,
+                          compile_key=None):
     """Timing-honesty protocol in ONE place (see module docstring).
 
     ``timed(n)`` runs n iterations (threading any loop state via
@@ -53,8 +57,17 @@ def _differential_elapsed(timed, num_steps, warmup=3, profile=False):
     seconds. We time an M-window and an (M+N)-window; their difference
     cancels the fetch RPC and dispatch pipelining. BENCH_PROFILE wraps
     the two timed windows in a profiler trace when ``profile`` is set.
+
+    The FIRST call compiles the jitted program; its wall time is
+    recorded under ``compile_key`` in LAST_COMPILE_SECONDS so every
+    bench artifact carries a compile-time series (regression guard —
+    the r03 dryrun died of an unnoticed compile blowup).
     """
-    timed(warmup)  # post-compile warmup
+    t_first = timed(1)  # compile + 1 step
+    if compile_key:
+        LAST_COMPILE_SECONDS[compile_key] = round(t_first, 1)
+    if warmup > 1:
+        timed(warmup - 1)  # post-compile warmup
     profile_dir = os.environ.get("BENCH_PROFILE") if profile else None
     if profile_dir:
         import jax
@@ -144,7 +157,8 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
         state_box[0] = state
         return time.perf_counter() - start
 
-    elapsed = _differential_elapsed(timed, num_steps)
+    elapsed = _differential_elapsed(timed, num_steps,
+                                    compile_key="train_step")
 
     images_per_sec = num_steps * batch_size / elapsed
     return {
@@ -195,7 +209,8 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
         float(jnp.sum(out["panoptic"]) + jnp.sum(out["depth"][0]))
         return time.perf_counter() - start
 
-    elapsed = _differential_elapsed(timed, num_steps)
+    elapsed = _differential_elapsed(timed, num_steps,
+                                    compile_key="infer_step")
 
     images_per_sec = num_steps * batch_size / elapsed
     return {
@@ -208,6 +223,184 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
         "baseline_note": "no published reference inference throughput; "
                          f"batch={batch_size} at {height}x{width} incl. "
                          "panoptic fusion",
+    }
+
+
+def _bench_spatial(num_steps):
+    """Spatially-sharded adaptation step: compile the PRODUCTION adapt
+    executable (fused cut-mixup + in-step eval, published K360/SemKITTI
+    shapes) with every image tensor H-sharded over an 8-device mesh,
+    inventory the collectives GSPMD inserted, and project the v5e-8
+    step latency.
+
+    Runs on the virtual 8-CPU mesh (only one physical TPU chip is
+    reachable here): the artifact is the compiled executable's
+    collective payload — the only quantity a virtual mesh can measure
+    honestly — combined with the measured single-chip step-time split
+    (docs/ROADMAP.md r3 trace: 243 ms/step = 209 ms spatially-shardable
+    conv/gather/elementwise/layout work + ~34 ms unshardable remainder:
+    pose-head global reductions, panoptic-fusion sorts, top-k CE).
+    Correctness of the sharded executable is equality-tested in
+    tests/test_adapt_step.py::test_sharded_adapt_step_published_config.
+
+    Env knobs: BENCH_SPATIAL_SCALES (default 5, the production recon
+    pyramid), BENCH_SPATIAL_BASE_MS / BENCH_SPATIAL_UNSHARDED_MS to
+    re-project from a newer single-chip trace.
+    """
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", Path(__file__).resolve().parent
+        / "__graft_entry__.py")
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    devices = graft._force_cpu_mesh(8)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from codeps_tpu.config import gen_config
+    from codeps_tpu.data.labels import thing_classes
+    from codeps_tpu.models import build_modules, init_params
+    from codeps_tpu.parallel import replicate, shard_adapt_batch_spatial
+    from codeps_tpu.tasks import build_optimizer, make_adapt_state
+    from codeps_tpu.tasks.adapt import build_eval_forward, make_adapt_step
+
+    ht, wt = 384, 1280
+    hs, ws = 512, 1024
+    num_source, num_replay, num_mixup = 2, 2, 2
+    num_classes = 14
+
+    cfg = gen_config(adapt=True, freeze=False)
+    cfg.model.po_depth_net.params.nof_layers = 101
+    cfg.semantics.class_weights = [1.0] * num_classes
+    cfg.depth.num_recon_scales = int(
+        os.environ.get("BENCH_SPATIAL_SCALES", "5"))
+    cfg.freeze()
+
+    modules = build_modules(cfg, num_classes, dtype=jnp.bfloat16)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (ht, wt))
+    frozen = ("backbone_po_depth", "instance_head")
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(1),
+                             ema_modules=("semantic_head",),
+                             frozen_modules=frozen,
+                             ema_alpha=cfg.adapt.ema.alpha)
+    thing_list = tuple(thing_classes(cfg.dataset.label_mode, []))
+    eval_forward = build_eval_forward(modules, cfg, thing_list)
+    step = make_adapt_step(
+        modules, cfg, tx, class_weights=[1.0] * num_classes,
+        ema_modules=("semantic_head",), frozen_modules=frozen,
+        has_replay=True, num_mixup=num_mixup, fused_mixup=True,
+        donate=False, eval_forward=eval_forward)
+
+    rng = np.random.default_rng(0)
+
+    def frames(n, h, w):
+        return rng.uniform(0, 1, (n, 3, h, w, 3)).astype(np.float32)
+
+    def camera(n, h, w):
+        return np.tile(np.asarray([[w * 0.6, w * 0.6, w / 2, h / 2]],
+                                  np.float32), (n, 1))
+
+    batch = {
+        "target": {"frames": frames(1, ht, wt),
+                   "camera": camera(1, ht, wt)},
+        "source": {
+            "frames": frames(num_source, hs, ws),
+            "camera": camera(num_source, hs, ws),
+            "semantic": rng.integers(0, num_classes,
+                                     (num_source, hs, ws)).astype(np.int32),
+            "semantic_weights": np.ones((num_source, hs, ws), np.float32),
+            "center": rng.uniform(0, 1, (num_source, hs, ws, 1)).astype(
+                np.float32),
+            "offset": rng.normal(0, 4, (num_source, hs, ws, 2)).astype(
+                np.float32),
+        },
+        "target_replay": {"frames": frames(num_replay, ht, wt),
+                          "camera": camera(num_replay, ht, wt)},
+        "mixup": {
+            "rgb_src": frames(num_mixup, hs, ws)[:, 0],
+            "semantic_src": rng.integers(
+                0, num_classes, (num_mixup, hs, ws)).astype(np.int32),
+            "rgb_tgt": frames(num_mixup, ht, wt)[:, 0],
+            "intr_src": camera(num_mixup, hs, ws),
+            "intr_tgt": camera(num_mixup, ht, wt),
+            "cut_cells": np.zeros((num_mixup, 2), np.int32),
+        },
+        "eval_gt": {
+            "semantic": rng.integers(0, num_classes, (1, ht, wt)).astype(
+                np.int32),
+            "depth_gt": rng.uniform(0, 60, (1, ht, wt)).astype(np.float32),
+        },
+    }
+
+    mesh = Mesh(np.asarray(devices), ("data",))
+    state_r = replicate(state, mesh)
+    batch_sp = shard_adapt_batch_spatial(batch, mesh)
+
+    t0 = time.perf_counter()
+    compiled = step.lower(state_r, batch_sp).compile()
+    compile_s = time.perf_counter() - t0
+    LAST_COMPILE_SECONDS["adapt_step_spatial"] = round(compile_s, 1)
+
+    # ---- collective inventory of the sharded executable
+    import re
+    from collections import defaultdict
+    counts, byte_totals = defaultdict(int), defaultdict(int)
+    shape_re = re.compile(r"=\s*(\w+)\[([\d,]*)\]")
+    sizes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+             "pred": 1, "s8": 1, "u8": 1, "s64": 8, "u64": 8}
+    for line in compiled.as_text().splitlines():
+        stripped = line.strip()
+        for op in ("all-reduce", "all-gather", "collective-permute",
+                   "reduce-scatter", "all-to-all"):
+            if re.search(rf"= \S+ {op}", stripped):
+                counts[op] += 1
+                match = shape_re.search(stripped)
+                if match:
+                    elems = int(np.prod(
+                        [int(d) for d in match.group(2).split(",") if d]
+                        or [1]))
+                    byte_totals[op] += elems * sizes.get(match.group(1), 4)
+                break
+    total_bytes = int(sum(byte_totals.values()))
+
+    # ---- projection: measured single-chip split + ICI comm cost
+    base_ms = float(os.environ.get("BENCH_SPATIAL_BASE_MS", "243"))
+    unsharded_ms = float(os.environ.get("BENCH_SPATIAL_UNSHARDED_MS", "34"))
+    ici_gbps = 186e9  # v5e 1D ring, usable per direction
+    comm_ms = total_bytes / ici_gbps * 1e3
+    ndev = len(devices)
+    projected_ms = (base_ms - unsharded_ms) / ndev + unsharded_ms + comm_ms
+    projected_steps = 1000.0 / projected_ms
+
+    return {
+        "metric": "adapt_steps_per_sec_spatial_projected",
+        "value": round(projected_steps, 3),
+        "unit": "steps/s (v5e-8 projection)",
+        "vs_baseline": round(projected_steps / BASELINE_STEPS_PER_SEC, 3),
+        "devices": ndev,
+        "compile_seconds": {"adapt_step_spatial": round(compile_s, 1)},
+        "collectives": {op: {"count": counts[op],
+                             "bytes": int(byte_totals[op])}
+                        for op in sorted(counts)},
+        "collective_bytes_total": total_bytes,
+        "comm_ms": round(comm_ms, 3),
+        "assumptions": {
+            "single_chip_step_ms": base_ms,
+            "unshardable_ms": unsharded_ms,
+            "ici_gbps": ici_gbps / 1e9,
+            "note": "H-sharded executable compiled+inventoried on the "
+                    "8-device virtual CPU mesh (1 physical chip here); "
+                    "shardable work scales 1/n, unshardable remainder + "
+                    "serialized collective payload added back. Equality "
+                    "of the sharded step is tested in "
+                    "test_adapt_step.py::"
+                    "test_sharded_adapt_step_published_config.",
+        },
     }
 
 
@@ -254,6 +447,25 @@ def _run_mode(mode):
                              frozen_modules=frozen,
                              ema_alpha=cfg.adapt.ema.alpha)
 
+    # BENCH_LOOP_STRATEGIES: comma list of mixup strategies for loop
+    # mode (default = the published configs' shape, 2 samples). Fusable
+    # strategies (cut/class) compose in-jit; any conf_instance_mixup
+    # entry drops the loop to the HOST composition path
+    # (AdaptationRunner._compose_mixups) — run with
+    # BENCH_LOOP_STRATEGIES=cut_mixup,conf_instance_mixup to price that
+    # path (the config surface's host-speed cliff, documented in
+    # docs/ROADMAP.md).
+    loop_strategies = [s for s in os.environ.get(
+        "BENCH_LOOP_STRATEGIES", "cut_mixup,cut_mixup").split(",") if s]
+    loop_fused = all(s in ("cut_mixup", "class_mixup")
+                     for s in loop_strategies)
+    if mode == "loop":
+        num_mixup = len(loop_strategies)
+    mixup_groups = tuple(
+        (name, loop_strategies.count(name))
+        for name in ("cut_mixup", "class_mixup", "conf_instance_mixup")
+        if name in loop_strategies) if mode == "loop" else None
+
     eval_forward = None
     if mode == "loop":
         # Loop mode mirrors AdaptationRunner: teacher metrics-eval folded
@@ -264,8 +476,8 @@ def _run_mode(mode):
     step = make_adapt_step(
         modules, cfg, tx, class_weights=[1.0] * num_classes,
         ema_modules=("semantic_head",), frozen_modules=frozen,
-        has_replay=True, num_mixup=num_mixup,
-        fused_cut_mixup=(mode == "loop"), donate=True,
+        has_replay=True, num_mixup=num_mixup, mixup_groups=mixup_groups,
+        fused_mixup=(mode == "loop" and loop_fused), donate=True,
         eval_forward=eval_forward)
 
     rng = np.random.default_rng(0)
@@ -308,21 +520,27 @@ def _run_mode(mode):
     }
 
     if mode == "loop":
-        # Full per-frame adaptation loop with the fused cut-mixup step:
-        # teacher eval + one adapt step (pseudo-labels, warp, composition
-        # all in-jit) + buffer-add features. Per frame the host only
-        # draws cut cells and uploads fresh frame data.
+        # Full per-frame adaptation loop: teacher eval + one adapt step
+        # + buffer-add features. Fused strategies compose in-jit (the
+        # host only draws mask materials and uploads fresh frame data);
+        # a conf_instance_mixup entry runs the host composition path
+        # per frame (plabel_prep device program + numpy paste + upload).
         from codeps_tpu.native.simindex import SimIndex
 
         nof_splits = (cfg.adapt.mixup.cut_mix.nof_vert_splits
                       * cfg.adapt.mixup.cut_mix.nof_hor_splits)
         nof_segments = cfg.adapt.mixup.cut_mix.nof_segments
+        n_cut = loop_strategies.count("cut_mixup")
+        n_class = loop_strategies.count("class_mixup")
         mix_rgb_tgt = jnp.asarray(rng.uniform(
             0, 1, (num_mixup, ht, wt, 3)).astype(np.float32))
+        mix_sem_src = jnp.asarray(rng.integers(
+            0, num_classes, (num_mixup, hs, ws)).astype(np.int32))
+        mix_rgb_src = frames(num_mixup, hs, ws)[:, 0]
         loop_batch = dict(batch)
         loop_batch["mixup"] = {
-            "rgb_src": batch["mixup"]["rgb"],
-            "semantic_src": batch["mixup"]["semantic"],
+            "rgb_src": mix_rgb_src,
+            "semantic_src": mix_sem_src,
             "rgb_tgt": mix_rgb_tgt,
             "intr_src": jnp.tile(jnp.asarray(
                 [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32),
@@ -330,18 +548,91 @@ def _run_mode(mode):
             "intr_tgt": jnp.tile(jnp.asarray(
                 [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
                 (num_mixup, 1)),
-            "cut_cells": jnp.zeros((num_mixup, nof_segments), jnp.int32),
         }
+        if n_cut:
+            loop_batch["mixup"]["cut_cells"] = jnp.zeros(
+                (n_cut, nof_segments), jnp.int32)
+        if n_class:
+            loop_batch["mixup"]["class_replace"] = jnp.zeros(
+                (n_class, 256), bool)
+        host_sem_src = np.asarray(mix_sem_src)
+        if not loop_fused:
+            # host composition path (AdaptationRunner._compose_mixups):
+            # one device program for pseudo-labels + c2c warp, numpy
+            # strategy paste, then the composed samples upload
+            from codeps_tpu.data.mixup import Mixup
+            from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
+            plabel_prep = make_plabel_prep_step(
+                modules, (9, 10, 11, 12, 13), (hs, ws), geom_augment=True)
+            host_rgb_src = np.asarray(mix_rgb_src)
+            host_inst_src = np.random.default_rng(3).integers(
+                0, 4, (num_mixup, hs, ws)).astype(np.int32)
+            loop_batch["mixup"] = {"rgb": mix_rgb_src,
+                                   "semantic": mix_sem_src}
         sim_index = SimIndex(modules.backbone_po_depth.num_ch_enc[-1])
         host_rng = np.random.default_rng(0)
 
         pending_add = [None]
 
         def one_frame(state, frame_idx):
-            cells = np.stack([host_rng.choice(nof_splits, nof_segments,
-                                              replace=False)
-                              for _ in range(num_mixup)]).astype(np.int32)
-            loop_batch["mixup"]["cut_cells"] = jnp.asarray(cells)
+            if loop_fused:
+                if n_cut:
+                    cells = np.stack([
+                        host_rng.choice(nof_splits, nof_segments,
+                                        replace=False)
+                        for _ in range(n_cut)]).astype(np.int32)
+                    loop_batch["mixup"]["cut_cells"] = jnp.asarray(cells)
+                if n_class:
+                    tables = np.zeros((n_class, 256), bool)
+                    for i in range(n_class):
+                        classes = np.unique(host_sem_src[n_cut + i])
+                        chosen = host_rng.choice(
+                            classes,
+                            (len(classes) + len(classes) % 2) // 2,
+                            replace=False)
+                        tables[i, chosen] = True
+                    loop_batch["mixup"]["class_replace"] = jnp.asarray(
+                        tables)
+            else:
+                rgb_w, sem_w, inst_w = plabel_prep(
+                    state.ema_params, state.ema_batch_stats, mix_rgb_tgt,
+                    jnp.tile(jnp.asarray(
+                        [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32),
+                        (num_mixup, 1)),
+                    jnp.tile(jnp.asarray(
+                        [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
+                        (num_mixup, 1)))
+                rgb_w = np.asarray(rgb_w)
+                sem_w = np.asarray(sem_w)
+                inst_w = np.asarray(inst_w)
+                rgbs, sems = [], []
+                for i, strategy in enumerate(loop_strategies):
+                    if strategy == "cut_mixup":
+                        rgb_m, sem_m, _ = Mixup.cut_mixup(
+                            host_rng, host_rgb_src[i], rgb_w[i],
+                            host_inst_src[i], host_sem_src[i], sem_w[i],
+                            inst_w[i],
+                            cfg.adapt.mixup.cut_mix.nof_vert_splits,
+                            cfg.adapt.mixup.cut_mix.nof_hor_splits,
+                            nof_segments)
+                    elif strategy == "class_mixup":
+                        rgb_m, sem_m, _ = Mixup.class_mixup(
+                            host_rng, host_rgb_src[i], rgb_w[i],
+                            host_inst_src[i], host_sem_src[i], sem_w[i],
+                            inst_w[i])
+                    else:
+                        rgb_m, sem_m, _ = Mixup.conf_instance_mixup(
+                            host_rgb_src[i], rgb_w[i], host_inst_src[i],
+                            host_sem_src[i], sem_w[i], inst_w[i],
+                            cfg.adapt.mixup.conf_instance_mix
+                            .min_inst_size)
+                    rgbs.append(rgb_m)
+                    sems.append(sem_m)
+                loop_batch["mixup"] = {
+                    "rgb": jnp.asarray(np.stack(rgbs).astype(np.float32)),
+                    "semantic": jnp.asarray(np.stack(sems).astype(
+                        np.int32)),
+                }
             state, metrics, features, results, _ = step(state, loop_batch)
             # deferred diversity add (AdaptationRunner parity): start the
             # (1, C) copy now, consume it next frame
@@ -372,7 +663,8 @@ def _run_mode(mode):
             return time.perf_counter() - start
 
         elapsed = _differential_elapsed(timed_frames, num_steps,
-                                        warmup=2, profile=True)
+                                        warmup=2, profile=True,
+                                        compile_key="adapt_step_loop")
         metric_name = "adapt_frames_per_sec"
     else:
         state_box = [state]
@@ -387,7 +679,8 @@ def _run_mode(mode):
             return time.perf_counter() - start
 
         elapsed = _differential_elapsed(timed_steps, num_steps,
-                                        profile=True)
+                                        profile=True,
+                                        compile_key="adapt_step")
         metric_name = "adapt_steps_per_sec"
 
     steps_per_sec = num_steps / elapsed
@@ -455,12 +748,22 @@ def main():
     without jeopardizing the primary metric.
     """
     mode = os.environ.get("BENCH_MODE", "all")
-    if mode not in ("step", "loop", "train", "infer", "all"):
+    if mode not in ("step", "loop", "train", "infer", "spatial", "all"):
         raise SystemExit(
-            f"BENCH_MODE must be step|loop|train|infer|all, got {mode!r}")
+            "BENCH_MODE must be step|loop|train|infer|spatial|all, "
+            f"got {mode!r}")
+    if mode == "spatial":
+        # Virtual-mesh mode: compiles the H-sharded production adapt
+        # step on 8 CPU devices (no TPU relay involved).
+        print(json.dumps(_bench_spatial(
+            int(os.environ.get("BENCH_STEPS", "20")))))
+        return
     _require_devices()
     if mode != "all":
-        print(json.dumps(_run_mode(mode)))
+        record = _run_mode(mode)
+        if LAST_COMPILE_SECONDS:
+            record["compile_seconds"] = dict(LAST_COMPILE_SECONDS)
+        print(json.dumps(record))
         return
 
     start = time.perf_counter()
@@ -494,6 +797,10 @@ def main():
         except Exception as exc:  # noqa: BLE001 - keep the primary metric
             extra[extra_mode] = {"error": f"{type(exc).__name__}: {exc}"}
     record["extra"] = extra
+    # Wall time of each jitted program's first call (compile + 1 step):
+    # the per-round compile-time series that would have caught the r03
+    # dryrun blowup before the driver gate did.
+    record["compile_seconds"] = dict(LAST_COMPILE_SECONDS)
     print(json.dumps(record))
 
 

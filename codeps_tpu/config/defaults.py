@@ -265,4 +265,10 @@ def _tpu_defaults() -> dict:
         # Rematerialize encoder blocks in backward (activation memory ~
         # O(depth) smaller; needed for train_cityscapes on 16 GB chips).
         "remat": False,
+        # Spatially shard the online-adaptation step over all local
+        # devices: image tensors partition along their HEIGHT axis, so
+        # one stream frame's conv/warp pipeline spreads over the ICI
+        # mesh (per-frame latency lever; the reference caps adaptation
+        # at 1 GPU, scripts/adapt_codeps.py:391). parallel/spatial.py.
+        "spatial_shard": False,
     }

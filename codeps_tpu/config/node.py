@@ -58,6 +58,11 @@ class ConfigNode:
     # -- attribute access ------------------------------------------------
 
     def __getattr__(self, key: str) -> Any:
+        if key.startswith("_"):
+            # Internal slots live in __dict__ only. During unpickling the
+            # instance exists before __init__/__setstate__ populates them;
+            # falling through to self._data here would self-recurse.
+            raise AttributeError(key)
         try:
             return self._data[key]
         except KeyError as exc:
@@ -65,6 +70,19 @@ class ConfigNode:
 
     def __setattr__(self, key: str, value: Any) -> None:
         self[key] = value
+
+    # -- pickling ----------------------------------------------------------
+    # Nodes travel inside pickled dataset objects (ReplayBuffer.save_state
+    # carries the previous domain's dataset across continual-chain runs,
+    # mirroring /root/reference/datasets/replay_buffer.py:472).
+
+    def __getstate__(self):
+        return {"_frozen": self._frozen, "_data": self._data}
+
+    def __setstate__(self, state):
+        object.__setattr__(self, "_frozen", False)
+        object.__setattr__(self, "_data", state["_data"])
+        object.__setattr__(self, "_frozen", state["_frozen"])
 
     # -- yacs-compatible operations ---------------------------------------
 

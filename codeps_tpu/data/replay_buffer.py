@@ -455,23 +455,41 @@ class ReplayBuffer:
 
     def save_state(self, path: str = "buffer_state.pkl") -> None:
         """Persist buffer features for continual chains
-        (replay_buffer.py:462-473)."""
+        (replay_buffer.py:462-473). The whole target dataset object is
+        pickled alongside (reference parity, replay_buffer.py:472): a
+        continual chain may cross dataset TYPES (KITTI-360 ->
+        SemKITTI-DVPS), so the next domain cannot reconstruct the
+        previous one from its own config."""
         ids, vectors = self.sim_index.dump()
         with open(path, "wb") as handle:
             pickle.dump({
                 "target_samples_indices": ids.tolist(),
                 "features": [vectors[i] for i in range(len(ids))],
                 "target_frame_paths": self.target_data.frame_paths,
+                "target_dataset": self.target_data,
             }, handle)
 
-    def load_state(self, prev_target_data,
+    def load_state(self, prev_target_data=None,
                    path: str = "buffer_state.pkl") -> None:
         """Restore a previous domain's buffer as prev_target entries
-        (replay_buffer.py:475-500)."""
+        (replay_buffer.py:475-500).
+
+        With ``prev_target_data=None`` the dataset pickled by save_state
+        is restored (the reference's behavior); passing an explicit
+        dataset re-points it at the saved frame paths (useful when the
+        data root moved between runs)."""
         with open(path, "rb") as handle:
             state = pickle.load(handle)
-        self.prev_target_data = prev_target_data
-        self.prev_target_data.frame_paths = state["target_frame_paths"]
+        if prev_target_data is None:
+            prev_target_data = state.get("target_dataset")
+            if prev_target_data is None:
+                raise ValueError(
+                    f"{path} predates dataset-carrying buffer states; "
+                    "pass prev_target_data explicitly")
+            self.prev_target_data = prev_target_data
+        else:
+            self.prev_target_data = prev_target_data
+            self.prev_target_data.frame_paths = state["target_frame_paths"]
         indices = state["target_samples_indices"]
         features = state["features"]
 

@@ -234,7 +234,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     has_replay: bool = True,
                     num_mixup: int = 0,
                     mixup_groups=None,
-                    fused_cut_mixup: bool = False,
+                    fused_mixup: bool = False,
                     sem_ignore_classes=None,
                     donate: bool = True,
                     eval_forward=None):
@@ -257,7 +257,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
       target_replay (when has_replay): frames (Nr, 3, Ht, Wt, 3), camera
       mixup (when num_mixup > 0): either composed samples
               {rgb (Nm, Hs, Ws, 3), semantic (Nm, Hs, Ws)}
-              or, with fused_cut_mixup, the raw materials
+              or, with fused_mixup, the raw materials
               {rgb_src, semantic_src, rgb_tgt, intr_src, intr_tgt,
                cut_cells (Nm, nof_segments) int32} — the
               teacher pseudo-labeling, panoptic fusion, camera warp, and
@@ -309,16 +309,29 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     cut_cfg = cfg.adapt.mixup.cut_mix
     geom_augment = cfg.adapt.mixup.general.geom_augment
     thing_list = None
-    if fused_cut_mixup:
+    if fused_mixup:
         from codeps_tpu.data.labels import thing_classes
         thing_list = tuple(thing_classes(cfg.dataset.label_mode,
                                          list(cfg.dataset.remove_classes)))
+        assert all(s in ("cut_mixup", "class_mixup")
+                   for s, _ in mixup_groups), (
+            "fused mixup composes cut_mixup and class_mixup in-jit; "
+            f"got {mixup_groups} (conf_instance_mixup stays on host — "
+            "its sequential distance-transform paste is control-flow "
+            "bound, mixup.py:541-658)")
 
     def _compose_cut_mixup(teacher, mixup, sem_pred=None):
-        """Teacher pseudo-labels + c2c warp + cut composition, traced.
+        """Teacher pseudo-labels + c2c warp + mask composition, traced.
 
-        The cut mask mirrors Mixup.cut_mixup incl. the reference's 1px
-        seams (cells end at (k+1)*crop - 1, mixup.py:139-143).
+        Strategy masks per canonical group (mixup_groups order):
+          cut_mixup   — grid cells from traced host-drawn ids, incl. the
+                        reference's 1px seams (cells end at
+                        (k+1)*crop - 1, mixup.py:139-143);
+          class_mixup — pixels whose SOURCE semantic class is in the
+                        host-drawn replace-set (mixup.py:68-86: random half
+                        of np.unique(semantic_src)), threaded as a
+                        (N_class, 256) bool lookup table
+                        (True = pixel comes from the target).
         ``sem_pred`` carries precomputed pseudo-labels when the teacher
         already ran batched with the metrics eval (see adapt_step).
         """
@@ -356,21 +369,35 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         else:
             rgb_tgt_w, sem_w = rgb_tgt, sem_pred
 
-        # cut mask from traced cell ids (drawn on host with the same RNG
-        # stream as the unfused path)
+        # per-strategy masks from traced host-drawn ids (same RNG stream
+        # as the unfused path); groups are static slices of the Nm axis
         height, width = rgb_src.shape[1:3]
-        crop_h = height // cut_cfg.nof_vert_splits
-        crop_w = width // cut_cfg.nof_hor_splits
-        yy = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
-        xx = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-        cells = mixup["cut_cells"]          # (Nm, nof_segments)
-        mul_x = (cells % cut_cfg.nof_hor_splits)[:, :, None, None]
-        mul_y = (cells // cut_cfg.nof_hor_splits)[:, :, None, None]
-        in_cell = ((yy >= mul_y * crop_h)
-                   & (yy < (mul_y + 1) * crop_h - 1)
-                   & (xx >= mul_x * crop_w)
-                   & (xx < (mul_x + 1) * crop_w - 1))
-        mask = jnp.any(in_cell, axis=1)     # (Nm, H, W)
+        masks = []
+        start = 0
+        for strategy, count in mixup_groups:
+            sl = slice(start, start + count)
+            start += count
+            if strategy == "cut_mixup":
+                crop_h = height // cut_cfg.nof_vert_splits
+                crop_w = width // cut_cfg.nof_hor_splits
+                yy = jax.lax.broadcasted_iota(jnp.int32, (height, width),
+                                              0)
+                xx = jax.lax.broadcasted_iota(jnp.int32, (height, width),
+                                              1)
+                cells = mixup["cut_cells"]  # (N_cut, nof_segments)
+                mul_x = (cells % cut_cfg.nof_hor_splits)[:, :, None, None]
+                mul_y = (cells // cut_cfg.nof_hor_splits)[:, :, None, None]
+                in_cell = ((yy >= mul_y * crop_h)
+                           & (yy < (mul_y + 1) * crop_h - 1)
+                           & (xx >= mul_x * crop_w)
+                           & (xx < (mul_x + 1) * crop_w - 1))
+                masks.append(jnp.any(in_cell, axis=1))  # (N_cut, H, W)
+            else:  # class_mixup: keep-set lookup by source semantic
+                table = mixup["class_replace"]  # (N_class, 256) bool
+                sem_src_rows = semantic_src[sl]
+                masks.append(jax.vmap(lambda t, s: t[s])(
+                    table, jnp.clip(sem_src_rows, 0, table.shape[1] - 1)))
+        mask = masks[0] if len(masks) == 1 else jnp.concatenate(masks, 0)
 
         rgb_mix = jnp.where(mask[..., None], rgb_tgt_w, rgb_src)
         sem_mix = jnp.where(mask, sem_w, semantic_src)
@@ -543,7 +570,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             # mixup CE with unit pixel weights (semantic_seg.py:219-225)
             mix_feats = None
             if num_mixup > 0:
-                if fused_cut_mixup:
+                if fused_mixup:
                     mix_rgb, mix_semantic = _compose_cut_mixup(
                         teacher, batch["mixup"], sem_pred=plabel_sem)
                 else:
@@ -696,7 +723,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             eval_batch = {"frames": batch["target"]["frames"]}
             eval_batch.update(batch.get("eval_gt", {}))
             batch_teacher = (
-                fused_cut_mixup and num_mixup > 0
+                fused_mixup and num_mixup > 0
                 and modules.semantic_head is not None
                 and batch["mixup"]["rgb_tgt"].shape[1:3]
                 == batch["target"]["frames"].shape[2:4])

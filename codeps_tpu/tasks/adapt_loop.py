@@ -108,11 +108,14 @@ class AdaptationRunner:
         mixup_groups = tuple(
             (name, strategies.count(name)) for name in MIXUP_KEYS
             if name in strategies) if num_mixup else ()
-        # The published adapt configs use only cut_mixup — that path runs
-        # entirely inside the adapt step (teacher pseudo-labels + warp +
-        # composition), eliminating all mixup host round-trips.
+        # cut_mixup and class_mixup compose entirely inside the adapt
+        # step (teacher pseudo-labels + c2c warp + mask composition),
+        # eliminating all mixup host round-trips; only
+        # conf_instance_mixup (sequential distance-transform paste,
+        # mixup.py:541-658) falls back to the host path.
         self.fused_mixup = (self.mixup_active and num_mixup > 0
-                            and all(s == "cut_mixup" for s in strategies))
+                            and all(s in ("cut_mixup", "class_mixup")
+                                    for s in strategies))
         if (self.mixup_active and "cut_mixup" in strategies
                 and not cfg.adapt.mixup.general.geom_augment
                 and tuple(cfg.dataset.feed_img_size) != source_size):
@@ -139,7 +142,7 @@ class AdaptationRunner:
             ema_modules=self.ema_modules,
             frozen_modules=self.frozen_modules, num_mixup=num_mixup,
             mixup_groups=mixup_groups,
-            fused_cut_mixup=self.fused_mixup,
+            fused_mixup=self.fused_mixup,
             sem_ignore_classes=list(self.ignore_classes) or None,
             eval_forward=eval_forward)
         self.adapt_step_with_replay = make_adapt_step(has_replay=True,
@@ -162,6 +165,21 @@ class AdaptationRunner:
                                  else cfg.train.nof_adaptation_steps)
         # loss weighting happens inside the compiled step (make_adapt_step
         # reads cfg.losses.weights directly) — no host-side copy kept.
+
+        # Spatial sharding (cfg.tpu.spatial_shard): partition each
+        # frame's image tensors along H over all local devices — the
+        # per-frame latency lever the reference's 1-GPU cap forecloses
+        # (adapt_codeps.py:391). The jitted steps are unchanged; GSPMD
+        # derives the partitioning from the input shardings
+        # (parallel/spatial.py, equality-tested in test_adapt_step.py).
+        self.spatial_mesh = None
+        if getattr(cfg.tpu, "spatial_shard", False):
+            import jax
+
+            from codeps_tpu.parallel import make_mesh, replicate
+            if len(jax.devices()) > 1:
+                self.spatial_mesh = make_mesh(cfg.tpu.mesh.data_axis)
+                self.state = replicate(self.state, self.spatial_mesh)
 
         self.panoptic_eval = PanopticEvaluator(list(self.stuff_list),
                                                list(self.thing_list))
@@ -272,15 +290,32 @@ class AdaptationRunner:
             return (stacked if stacked.dtype == np.uint8
                     else stacked.astype(np.float32))
 
-        if self.fused_mixup and "cut_mixup" in sample:
-            items = sample["cut_mixup"]
-            nof_splits = (self.cfg.adapt.mixup.cut_mix.nof_vert_splits
-                          * self.cfg.adapt.mixup.cut_mix.nof_hor_splits)
-            nof_segments = self.cfg.adapt.mixup.cut_mix.nof_segments
-            cut_cells = np.stack([
-                self.mixup_rng.choice(nof_splits, nof_segments,
-                                      replace=False)
-                for _ in items]).astype(np.int32)
+        fused_items = [(key, item) for key in ("cut_mixup", "class_mixup")
+                       for item in sample.get(key, [])]
+        if self.fused_mixup and fused_items:
+            # canonical strategy order (matches the step's static
+            # mixup_groups); per-strategy mask materials drawn with the
+            # same host RNG stream as the unfused composition path
+            items = [item for _, item in fused_items]
+            cut_cfg = self.cfg.adapt.mixup.cut_mix
+            nof_splits = cut_cfg.nof_vert_splits * cut_cfg.nof_hor_splits
+            cut_cells = []
+            class_replace = []
+            for key, item in fused_items:
+                if key == "cut_mixup":
+                    cut_cells.append(self.mixup_rng.choice(
+                        nof_splits, cut_cfg.nof_segments, replace=False))
+                else:
+                    # Mixup.class_mixup: replace a random half (rounded
+                    # up) of the classes present in the SOURCE labels
+                    sem_src = np.asarray(item["semantic_src"])
+                    all_classes = np.unique(sem_src)
+                    num = all_classes.shape[0]
+                    chosen = all_classes[self.mixup_rng.choice(
+                        num, (num + num % 2) // 2, replace=False)]
+                    table = np.zeros((256,), bool)
+                    table[chosen] = True
+                    class_replace.append(table)
             batch["mixup"] = {
                 "rgb_src": jnp.asarray(_stack_images(
                     [m["rgb_src"][0] for m in items])),
@@ -295,8 +330,13 @@ class AdaptationRunner:
                 "intr_tgt": jnp.asarray(np.stack(
                     [np.asarray(m["camera_model_tgt"], np.float32)
                      for m in items])),
-                "cut_cells": jnp.asarray(cut_cells),
             }
+            if cut_cells:
+                batch["mixup"]["cut_cells"] = jnp.asarray(
+                    np.stack(cut_cells).astype(np.int32))
+            if class_replace:
+                batch["mixup"]["class_replace"] = jnp.asarray(
+                    np.stack(class_replace))
         elif mixup_samples:
             # center/offset are omitted: no adaptation loss consumes
             # them (see Mixup.do_mixup note). Samples are already in
@@ -311,6 +351,20 @@ class AdaptationRunner:
                      for m in mixup_samples])),
             }
         return batch
+
+    def _place(self, batch, flat: bool = False):
+        """Device placement hook: H-shard image tensors over the mesh in
+        spatial mode (no-op single-device — jit places the arrays).
+        ``flat`` marks single-domain batches (eval) whose image leaves
+        sit at the top level."""
+        if self.spatial_mesh is None:
+            return batch
+        from codeps_tpu.parallel import (shard_adapt_batch_hybrid,
+                                         shard_adapt_batch_spatial)
+        place = (shard_adapt_batch_spatial if flat
+                 else shard_adapt_batch_hybrid)
+        return place(batch, self.spatial_mesh,
+                     self.cfg.tpu.mesh.data_axis)
 
     def _host_normalize(self, img) -> np.ndarray:
         """Host-side twin of maybe_normalize for mixup composition.
@@ -590,7 +644,8 @@ class AdaptationRunner:
             if self.disable_adaptation:
                 # eval-only mode: standalone teacher eval, consumed
                 # immediately (no gradient stream to overlap with)
-                eval_batch = self._target_eval_batch(sample)
+                eval_batch = self._place(self._target_eval_batch(sample),
+                                         flat=True)
                 results, stats = self.eval_step(self.state.ema_params,
                                                 self.state.ema_batch_stats,
                                                 eval_batch)
@@ -612,6 +667,7 @@ class AdaptationRunner:
                 batch = self._adapt_batch(sample, mixup_samples)
                 eval_gt = self._target_gt(sample)
                 batch["eval_gt"] = eval_gt
+                batch = self._place(batch)
                 with_replay = "target_replay" in batch
                 features = None
                 results = stats = None

@@ -98,11 +98,11 @@ def main():
     replay_buffer.initialize_source_buffer(
         source_dataset, cfg.adapt.replay_buffer.source_size)
     if args.buffer_state:
-        prev_target = type(target_dataset)(
-            "sequence", cfg.dataset, return_depth=False,
-            sequences=list(cfg.dataset.sequences),
-            label_mode=cfg.dataset.label_mode)
-        replay_buffer.load_state(prev_target, args.buffer_state)
+        # The previous domain's dataset object travels inside the saved
+        # state (it may be a DIFFERENT dataset type — a CS->K360->
+        # SemKITTI chain crosses from Kitti360 to SemKittiDvps; the
+        # reference pickles the dataset too, replay_buffer.py:472).
+        replay_buffer.load_state(path=args.buffer_state)
 
     log_info("Adaptation frames: %d | Source buffer: %d",
              len(replay_buffer), len(replay_buffer.source_samples_indices))

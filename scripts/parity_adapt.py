@@ -601,7 +601,7 @@ def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path):
             class_weights=list(cfg.semantics.class_weights),
             ema_modules=("semantic_head",), frozen_modules=frozen,
             has_replay=True, num_mixup=NM if with_mixup else 0,
-            fused_cut_mixup=with_mixup, sem_ignore_classes=None,
+            fused_mixup=with_mixup, sem_ignore_classes=None,
             donate=False, eval_forward=eval_forward)
         state, records = _run_jax_frames(step, state, frames, nsteps,
                                          with_mixup)

@@ -25,6 +25,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the deep-conv-stack adapt/train programs
+# take minutes of XLA CPU compile on this 1-core host; cache hits make
+# repeat suite runs (and the driver's dryrun, which shares the cache
+# dir) near-instant. Keyed by HLO hash — stale entries are impossible.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 assert jax.devices()[0].platform == "cpu", (
     "Tests must run on the virtual CPU mesh, got "
     f"{jax.devices()[0].platform}")

@@ -84,6 +84,47 @@ def test_adaptation_runner_streams(setup):
     assert runner.buffer.sim_index.ntotal >= 1
 
 
+def test_adaptation_runner_spatial_shard(setup):
+    """cfg.tpu.spatial_shard=True: the same runner streams with every
+    image tensor H-sharded over the 8-device mesh (parallel/spatial.py)
+    — the per-frame latency lever the reference's single-GPU cap rules
+    out (adapt_codeps.py:391). Numerical equality of the sharded step
+    is covered in test_adapt_step.py; this exercises the PRODUCT path:
+    runner construction, state replication, per-frame batch placement,
+    metric fetches, and buffer adds on sharded outputs."""
+    cfg = setup.clone().defrost()
+    cfg.tpu.spatial_shard = True
+    cfg.freeze()
+    target = Kitti360("sequence", cfg.dataset, return_depth=True,
+                      sequences=["03"], sequence_reference_mode="rgb",
+                      label_mode="codeps")
+    buffer = ReplayBuffer(target, cfg.adapt, "train")
+    source = Cityscapes("train", cfg.adapt.source_dataset,
+                        label_mode="codeps")
+    buffer.initialize_source_buffer(source, None)
+
+    modules = build_modules(cfg, NC)
+    params, stats = init_params(jax.random.PRNGKey(0), modules, (32, 64))
+    frozen = ["backbone_po_depth", "instance_head"]
+    tx = build_optimizer(cfg, cfg.train.optimizer.learning_rate,
+                         frozen_modules=frozen)
+    state = make_adapt_state(params, stats, tx, jax.random.PRNGKey(1),
+                             ema_modules=("semantic_head",),
+                             frozen_modules=frozen, ema_alpha=0.99)
+
+    runner = AdaptationRunner(cfg, modules, state, tx, buffer,
+                              frozen_modules=frozen, verbose=False)
+    assert runner.spatial_mesh is not None
+    assert runner.spatial_mesh.devices.size == 8
+    meters = runner.run(max_frames=2)
+
+    assert int(runner.state.step) == 2
+    assert meters["losses"]["loss"].count >= 2
+    assert meters["metrics"]["sem_conf"].sum.sum() > 0
+    assert np.isfinite(float(meters["losses"]["loss"].value))
+    assert runner.buffer.sim_index is not None
+
+
 def test_wandb_interval_streaming(setup):
     """Per-interval observability (adapt_codeps.py:311-337): scalars,
     per-class depth series, and image panels stream through the logger

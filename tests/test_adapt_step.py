@@ -207,19 +207,27 @@ def test_adapt_step_end_to_end(shared_step):
     assert int(new_state.dist_count) == 1
 
 
-def test_adapt_step_fused_cut_mixup():
-    """In-jit mixup path: teacher pseudo-labels + c2c warp + cut
-    composition inside the adapt step."""
+def test_adapt_step_fused_mixup():
+    """In-jit mixup path: teacher pseudo-labels + c2c warp + per-strategy
+    mask composition inside the adapt step — MIXED groups (one cut_mixup
+    + one class_mixup sample) so both fused strategies compile into the
+    same executable."""
     cfg = _cfg()
+    cfg.losses.weights["semantic_class_mixup"] = 1.0
     frozen = ("backbone_po_depth", "instance_head")
     modules, state, tx = _modules_state(cfg, frozen)
     step = make_adapt_step(
         modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
         ema_modules=("semantic_head",), frozen_modules=frozen,
-        has_replay=True, num_mixup=2, fused_cut_mixup=True, donate=False)
+        has_replay=True, num_mixup=2,
+        mixup_groups=(("cut_mixup", 1), ("class_mixup", 1)),
+        fused_mixup=True, donate=False)
 
     batch = _adapt_batch()
     num_mixup = 2
+    # the class_mixup row replaces source classes {0..6} with target
+    replace = np.zeros((1, 256), bool)
+    replace[0, :7] = True
     batch["mixup"] = {
         "rgb_src": jnp.asarray(RNG.uniform(
             0, 1, (num_mixup, HS, WS, 3)).astype(np.float32)),
@@ -231,15 +239,17 @@ def test_adapt_step_fused_cut_mixup():
             [[28.0, 28.0, WS / 2, HS / 2]], jnp.float32), (num_mixup, 1)),
         "intr_tgt": jnp.tile(jnp.asarray(
             [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num_mixup, 1)),
-        "cut_cells": jnp.asarray([[0, 5], [2, 7]], jnp.int32),
+        "cut_cells": jnp.asarray([[0, 5]], jnp.int32),
+        "class_replace": jnp.asarray(replace),
     }
 
     new_state, metrics, feats = step(state, batch)
-    # one pooled CE over the whole cut_mixup strategy batch (reference
-    # computes a single flattened-top-k loss per strategy key)
-    assert np.isfinite(float(metrics["semantic_cut_mixup"]))
-    assert float(metrics["semantic_cut_mixup"]) > 0
-    assert np.ndim(np.asarray(metrics["semantic_cut_mixup"])) == 0
+    # one pooled CE PER strategy group (reference computes a single
+    # flattened-top-k loss per strategy key)
+    for key in ("semantic_cut_mixup", "semantic_class_mixup"):
+        assert np.isfinite(float(metrics[key])), key
+        assert float(metrics[key]) > 0
+        assert np.ndim(np.asarray(metrics[key])) == 0
     assert np.isfinite(float(metrics["loss_total"]))
 
 
@@ -396,7 +406,7 @@ def test_sharded_adapt_step_published_config():
     step = make_adapt_step(
         modules, cfg, tx, class_weights=list(cfg.semantics.class_weights),
         ema_modules=("semantic_head",), frozen_modules=frozen,
-        has_replay=True, num_mixup=8, fused_cut_mixup=True, donate=False,
+        has_replay=True, num_mixup=8, fused_mixup=True, donate=False,
         eval_forward=eval_forward)
 
     num = 8
@@ -477,6 +487,48 @@ def test_sharded_adapt_step_published_config():
     assert (flat > 1e-5).mean() < 0.02
     np.testing.assert_array_equal(np.asarray(stats_s["sem_conf"]),
                                   np.asarray(stats["sem_conf"]))
+
+    # ---- SPATIAL placement of the SAME step (cfg.tpu.spatial_shard
+    # product path): every image leaf H-sharded over the mesh, GSPMD
+    # inserts conv halos + warp/resize collectives. Must reproduce the
+    # single-device step on the same global batch (SPATIAL_SHARD.md
+    # proved the pipeline in isolation; this covers the full published
+    # executable: fused cut-mixup + in-step eval + panoptic fusion).
+    from codeps_tpu.parallel import shard_adapt_batch_spatial
+    batch_sp = shard_adapt_batch_spatial(batch, mesh)
+    new_state_sp, metrics_sp, feats_sp, results_sp, stats_sp = step(
+        state_r, batch_sp)
+    np.testing.assert_allclose(float(metrics_sp["loss_total"]),
+                               loss_single, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(metrics_sp["semantic_cut_mixup"]),
+        float(metrics["semantic_cut_mixup"]), rtol=1e-5)
+    flat = np.concatenate([
+        np.abs(np.asarray(a - b)).ravel() for a, b in zip(
+            jax.tree.leaves(new_state.params["semantic_head"]),
+            jax.tree.leaves(new_state_sp.params["semantic_head"]))])
+    assert flat.max() <= 2.2 * lr          # Adam step-1 sign-flip bound
+    assert (flat > 1e-5).mean() < 0.02
+    np.testing.assert_array_equal(np.asarray(stats_sp["sem_conf"]),
+                                  np.asarray(stats["sem_conf"]))
+    # the fused panoptic map must be pixel-identical under sharding
+    np.testing.assert_array_equal(np.asarray(results_sp["panoptic"]),
+                                  np.asarray(results["panoptic"]))
+
+
+def test_spatial_spec_mapping():
+    """Unit checks for the spatial placement table (no jit)."""
+    from jax.sharding import PartitionSpec as P
+
+    from codeps_tpu.parallel.spatial import spatial_spec
+
+    assert spatial_spec("frames", 5, "data") == P(None, None, "data",
+                                                  None, None)
+    assert spatial_spec("semantic", 3, "data") == P(None, "data", None)
+    assert spatial_spec("offset", 4, "data") == P(None, "data", None, None)
+    assert spatial_spec("camera", 2, "data") == P()       # replicated
+    assert spatial_spec("cut_cells", 2, "data") == P()
+    assert spatial_spec("do_ema", 0, "data") == P()
 
 
 def test_sharded_adapt_step_over_mesh():

@@ -60,6 +60,33 @@ def test_guard_error_record_carries_the_failing_mode():
     assert rec["value"] == 0.0
 
 
+def test_differential_harness_records_compile_time():
+    # Every timed mode must record its first-call (compile) wall time so
+    # bench artifacts carry a compile-time series (the r03 multi-chip
+    # dryrun died of an unnoticed compile blowup; BENCH compile_seconds
+    # is the regression guard).
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("bench2",
+                                                  REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    calls = []
+
+    def timed(n):
+        calls.append(n)
+        return 7.0 if len(calls) == 1 else 0.1 * n
+
+    elapsed = mod._differential_elapsed(timed, num_steps=4,
+                                        compile_key="probe")
+    assert mod.LAST_COMPILE_SECONDS["probe"] == 7.0
+    assert calls[0] == 1  # first call isolates the compile
+    assert elapsed > 0
+    # the source must thread the records into the artifact
+    src = (REPO / "bench.py").read_text()
+    assert 'record["compile_seconds"]' in src
+
+
 def test_guard_passes_on_live_backend():
     # The probe subprocess inherits os.environ (the container pins
     # JAX_PLATFORMS=axon there even though conftest forces CPU

@@ -324,6 +324,41 @@ def test_fused_cut_mixup_matches_host_composition():
     np.testing.assert_array_equal(dev_sem, host_sem)
 
 
+def test_fused_class_mixup_matches_host_composition():
+    """The in-jit class composition (tasks/adapt.py: replace-set lookup
+    by SOURCE semantic class) must match the host Mixup.class_mixup for
+    the same chosen classes (mixup.py:68-86)."""
+    hs, ws = 24, 32
+    rng = np.random.default_rng(11)
+    rgb_src = rng.uniform(0, 1, (hs, ws, 3)).astype(np.float32)
+    rgb_tgt_w = rng.uniform(0, 1, (hs, ws, 3)).astype(np.float32)
+    sem_src = rng.integers(0, 14, (hs, ws)).astype(np.int32)
+    sem_w = rng.integers(0, 14, (hs, ws)).astype(np.int32)
+    inst_src = rng.integers(0, 3, (hs, ws)).astype(np.int32)
+    inst_w = rng.integers(0, 3, (hs, ws)).astype(np.int32)
+
+    # host path draws the replace-set from np.unique(semantic_src)
+    host_rng = np.random.default_rng(5)
+    host_rgb, host_sem, _ = Mixup.class_mixup(
+        host_rng, rgb_src, rgb_tgt_w, inst_src, sem_src, sem_w, inst_w)
+
+    # fused path: the runner draws the SAME classes with the same stream
+    # and threads them as a 256-entry bool table (adapt_loop.py)
+    dev_rng = np.random.default_rng(5)
+    all_classes = np.unique(sem_src)
+    num = all_classes.shape[0]
+    chosen = all_classes[dev_rng.choice(num, (num + num % 2) // 2,
+                                        replace=False)]
+    table = np.zeros((256,), bool)
+    table[chosen] = True
+    mask = table[np.clip(sem_src, 0, 255)]   # the step's vmap lookup
+
+    dev_rgb = np.where(mask[..., None], rgb_tgt_w, rgb_src)
+    dev_sem = np.where(mask, sem_w, sem_src)
+    np.testing.assert_allclose(dev_rgb, host_rgb, atol=1e-6)
+    np.testing.assert_array_equal(dev_sem, host_sem)
+
+
 def test_continual_chain_prev_target_sampling(tmp_path):
     """CS -> KITTI-360 -> SemKITTI continual chain: the second-domain
     buffer loads the first domain's saved state and serves prev_target
