@@ -15,6 +15,7 @@ from __future__ import annotations
 import time
 from typing import Any, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -479,7 +480,41 @@ class AdaptationRunner:
 
     # ------------------------------------------------------------------
 
-    def _update_metrics(self, sample, eval_batch, results, stats) -> None:
+    def _dispatch_gt_panoptic(self, sample, eval_batch, results):
+        """Enqueue the GT panoptic-fusion program for a frame right after
+        that frame's own adapt steps, so it executes while the host preps
+        the NEXT frame. Dispatching it lazily at consume time (the old
+        behavior) enqueued it BEHIND the next frame's steps — its fetch
+        then blocked on the whole next-frame device queue, serializing
+        the stream."""
+        if results is None or "panoptic" not in results:
+            return None
+        if "semantic" not in eval_batch:
+            return None
+        gt_sem = eval_batch.get("semantic_eval", eval_batch["semantic"])
+        target = sample["target"]
+        return self.gt_panoptic(
+            gt_sem,
+            jnp.asarray(np.asarray(target["center"], np.float32)[None]),
+            jnp.asarray(np.asarray(target["offset"], np.float32)[None]))
+
+    @staticmethod
+    def _start_host_copies(*trees) -> None:
+        """Begin device->host copies for every array a later consume()
+        will fetch; np.asarray then reads local memory instead of paying
+        a blocking relay round-trip per leaf. Backends without async
+        copy support simply fetch at consume time (no-op fallback)."""
+        for tree in trees:
+            if tree is None:
+                continue
+            for leaf in jax.tree.leaves(tree):
+                try:
+                    leaf.copy_to_host_async()
+                except AttributeError:
+                    pass
+
+    def _update_metrics(self, sample, eval_batch, results, stats,
+                        pan_gt=None) -> None:
         metrics = self.meters["metrics"]
         for name, value in stats.items():
             if name in metrics and name != "sem_conf":
@@ -508,15 +543,9 @@ class AdaptationRunner:
                                      self.ignore_classes, sum_pixels=True))
 
         if "panoptic" in results and "semantic" in eval_batch:
-            gt_sem = eval_batch.get("semantic_eval",
-                                    eval_batch["semantic"])
-            target = sample["target"]
-            pan_gt = self.gt_panoptic(
-                gt_sem,
-                jnp.asarray(np.asarray(target["center"],
-                                       np.float32)[None]),
-                jnp.asarray(np.asarray(target["offset"],
-                                       np.float32)[None]))
+            if pan_gt is None:
+                pan_gt = self._dispatch_gt_panoptic(sample, eval_batch,
+                                                    results)
             self.panoptic_eval.update(np.asarray(pan_gt),
                                       np.asarray(results["panoptic"]))
             scores = self.panoptic_eval.evaluate()
@@ -601,7 +630,8 @@ class AdaptationRunner:
 
         def consume(ctx) -> None:
             self._update_metrics(ctx["sample"], ctx["eval_gt"],
-                                 ctx["results"], ctx["stats"])
+                                 ctx["results"], ctx["stats"],
+                                 pan_gt=ctx.get("pan_gt"))
             accum = ctx["accum"]
             nsteps = ctx["nsteps"]
             if accum is not None:
@@ -699,13 +729,21 @@ class AdaptationRunner:
                     else:
                         accum = {k: accum[k] + metrics[k] for k in accum}
 
-                # 3. consume the PREVIOUS frame's metrics while this
-                # frame's steps run on device
+                # 3. enqueue THIS frame's GT panoptic fusion behind its
+                # own steps and start device->host copies of everything
+                # next frame's consume() will read, then consume the
+                # PREVIOUS frame's metrics while this frame's steps run
+                pan_gt = self._dispatch_gt_panoptic(sample, eval_gt,
+                                                    results)
+                self._start_host_copies(stats, accum, pan_gt,
+                                        None if results is None else
+                                        results.get("panoptic"))
                 if pending_frame is not None:
                     consume(pending_frame)
                 pending_frame = {"sample": sample, "eval_gt": eval_gt,
                                  "results": results, "stats": stats,
                                  "accum": accum, "nsteps": nsteps,
+                                 "pan_gt": pan_gt,
                                  "mixup_samples": mixup_samples, "it": it}
 
                 # 4. replay buffer diversity add (previous frame's
