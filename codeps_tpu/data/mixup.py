@@ -36,21 +36,28 @@ def distance_transform_manhattan(mask: np.ndarray) -> np.ndarray:
     """Manhattan distance to the nearest non-zero pixel.
 
     Stand-in for kornia.contrib.distance_transform (which *approximates*
-    the Manhattan transform, mixup.py:588); exact two-pass scan here.
-    Pixels of an all-zero mask get H+W.
+    the Manhattan transform, mixup.py:588); exact here. Pixels of an
+    all-zero mask get H+W.
+
+    The L1 DT is separable min-plus: the down/up row relaxations equal
+    min_j d0[j] + |i - j| per column, which is two ``minimum.accumulate``
+    scans of (d0 -/+ i) — no Python loop over rows/cols (the loop form
+    cost ~ms per call, and conf_instance_mixup calls this once per
+    pasted instance). Integer math, bit-identical to the 4-loop
+    relaxation.
     """
     height, width = mask.shape
     inf = height + width
-    dist = np.where(mask > 0, 0, inf).astype(np.int32)
-    for i in range(1, height):
-        dist[i] = np.minimum(dist[i], dist[i - 1] + 1)
-    for i in range(height - 2, -1, -1):
-        dist[i] = np.minimum(dist[i], dist[i + 1] + 1)
-    for j in range(1, width):
-        dist[:, j] = np.minimum(dist[:, j], dist[:, j - 1] + 1)
-    for j in range(width - 2, -1, -1):
-        dist[:, j] = np.minimum(dist[:, j], dist[:, j + 1] + 1)
-    return dist.astype(np.float32)
+    d = np.where(mask > 0, 0, inf).astype(np.int32)
+    ri = np.arange(height, dtype=np.int32)[:, None]
+    down = np.minimum.accumulate(d - ri, axis=0) + ri
+    up = np.minimum.accumulate((d + ri)[::-1], axis=0)[::-1] - ri
+    d = np.minimum(down, up)
+    ci = np.arange(width, dtype=np.int32)[None, :]
+    left = np.minimum.accumulate(d - ci, axis=1) + ci
+    right = np.minimum.accumulate((d + ci)[:, ::-1], axis=1)[:, ::-1] - ci
+    d = np.minimum(left, right)
+    return d.astype(np.float32)
 
 
 def warp_c2c(intr_src: np.ndarray, intr_tgt: np.ndarray,

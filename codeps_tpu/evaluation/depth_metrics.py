@@ -21,12 +21,20 @@ METRIC_KEYS = ("d_a1", "d_a2", "d_a3", "d_rmse", "d_rmse_log", "d_abs_rel",
 
 def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Median over masked entries (torch.median parity: lower of the two
-    middle values for even counts)."""
+    middle values for even counts).
+
+    Radix selection instead of jnp.sort: the eval path pays this per
+    frame (GT + pred medians for GT-scale), and a 0.49M-element TPU sort
+    costs several ms where the exact k-th order statistic needs only
+    width/4 compare+reduce passes (ops/topk.py). Masked-out entries sit
+    at +inf, so the lower-middle of the valid values is the
+    (N - idx)-th largest of the masked array — bit-identical to
+    sorted[idx]. Depth values are non-negative (kth_largest's domain)."""
+    from codeps_tpu.ops.topk import kth_largest
     big = jnp.where(mask, values, jnp.inf)
-    sorted_vals = jnp.sort(big)
     count = jnp.sum(mask)
-    idx = jnp.maximum((count - 1) // 2, 0)
-    return sorted_vals[idx]
+    idx = jnp.maximum((count - 1) // 2, 0)      # 0-based ascending
+    return kth_largest(big, big.shape[0] - idx)
 
 
 def _depth_stats(gt: jnp.ndarray, pred: jnp.ndarray,

@@ -1,7 +1,7 @@
 """Semantic segmentation metrics: confusion matrix + mIoU.
 
 Parity: SemanticEvaluator (/root/reference/eval/semantic.py:8-65). The
-confusion matrix builds on-device via a bincount-style scatter-add; the
+confusion matrix builds on-device as a one-hot MXU contraction; the
 cross-replica sum that the reference does with distributed.all_reduce
 (eval/semantic.py:43-50) is a psum under jit or a host-side sum.
 """
@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,16 +24,28 @@ def compute_confusion_matrix(semantic_pred: jnp.ndarray,
 
     Pixels whose GT is ignore_index or in ignore_classes are dropped
     (eval/semantic.py:52-65).
+
+    TPU scatters serialize per ROW (~7.5 ms per 1M rows on v5e), so the
+    bincount-style scatter-add cost ~3.7 ms per 0.49M-pixel frame on the
+    in-step eval path. The same contraction as a one-hot matmul rides
+    the MXU instead: counts = gt_onehot^T @ (pred_onehot & valid) —
+    bandwidth-bound, integer-exact (bf16 0/1 inputs, f32 accumulator,
+    counts < 2^24). Same trick as the panoptic majority vote
+    (ops/panoptic.py merge_semantic_and_instance).
     """
     pred = semantic_pred.reshape(-1).astype(jnp.int32)
     target = semantic_gt.reshape(-1).astype(jnp.int32)
     valid = target != ignore_index
     for cls in ignore_classes:
         valid = valid & (target != cls)
-    idx = jnp.where(valid, target * num_classes + pred, 0)
-    counts = jnp.zeros((num_classes * num_classes,), jnp.int32)
-    counts = counts.at[idx].add(valid.astype(jnp.int32))
-    return counts.reshape(num_classes, num_classes)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    gt_oh = (target[:, None] == classes[None, :]) & valid[:, None]
+    pred_oh = jnp.clip(pred, 0, num_classes - 1)[:, None] == classes[None, :]
+    counts = jax.lax.dot_general(
+        gt_oh.astype(jnp.bfloat16), pred_oh.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return counts.astype(jnp.int32)
 
 
 def compute_sem_miou(conf_mat, num_classes: int,

@@ -116,10 +116,14 @@ def semantic_loss(
     loss = loss * pixel_weights
 
     if top_k_percent_pixels < 1.0:
+        # exact top-k mean by radix threshold selection: lax.top_k over
+        # ~1M pixels lowers to a TPU sort (+ scatter backward, ~7 ms/
+        # adapt step); top_k_mean sums the identical multiset with pure
+        # elementwise+reduction work (ops/topk.py)
+        from codeps_tpu.ops.topk import top_k_mean
         flat = loss.reshape(-1)
         k = int(top_k_percent_pixels * flat.shape[0])
-        top_vals, _ = jax.lax.top_k(flat, k)
-        return jnp.mean(top_vals.astype(jnp.float32))
+        return top_k_mean(flat, k)
     return jnp.mean(loss.astype(jnp.float32))
 
 

@@ -137,3 +137,77 @@ def _pack_taps(img: jnp.ndarray) -> jnp.ndarray:
     down = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
     down_right = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
     return jnp.concatenate([img, right, down, down_right], axis=-1)
+
+
+def grid_sample_pair(img_lin: jnp.ndarray, img_nn: jnp.ndarray,
+                     grid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE gather for two same-grid samplings: bilinear/zeros + nearest/border.
+
+    Bit-identical to the pair
+      ``grid_sample(img_lin, grid, "bilinear", padding_mode="zeros")``
+      ``grid_sample(img_nn,  grid, "nearest",  padding_mode="border")``
+    but the lin and nn channels ride the SAME packed tap gather. TPU
+    gathers serialize per gathered row almost independently of row width
+    (see the border-mode note above), so fusing the two calls halves the
+    warp's gather time — the mixup c2c warp (tasks/adapt.py,
+    tasks/mixup_prep.py) samples RGB bilinearly and label maps nearest
+    over one shared grid, parity with Mixup.warp_c2c
+    (/root/reference/datasets/mixup.py:28-66).
+
+    Why the nearest/border value is always among the 2x2 zeros-mode taps:
+    the taps anchor at jj = clip(floor(y), -1, h-1) + 1 over a
+    top/left-replicated pad, i.e. original rows r0 = max(jj-1, 0) and
+    r1 = min(jj, h-1). The nearest row ry = clip(round(y), 0, h-1)
+    satisfies ry in {r0, r1} for every y (round(y) in {floor(y),
+    floor(y)+1}; all three clamp regimes checked), and likewise for
+    columns — so a pair of `where` selections recovers the exact
+    nearest-clamped pixel from the packed taps.
+
+    Returns:
+      (lin_out (B, Ho, Wo, C_lin), nn_out (B, Ho, Wo, C_nn)); nn_out is
+      in the common payload dtype (cast labels back outside).
+    """
+    _, h, w, c_lin = img_lin.shape
+    assert img_nn.shape[:3] == img_lin.shape[:3], (
+        img_lin.shape, img_nn.shape)
+    x = _unnormalize(grid[..., 0], w)
+    y = _unnormalize(grid[..., 1], h)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    jj = (jnp.clip(y0, -1, h - 1) + 1).astype(jnp.int32)  # [0, h]
+    ii = (jnp.clip(x0, -1, w - 1) + 1).astype(jnp.int32)  # [0, w]
+
+    dtype = jnp.result_type(img_lin.dtype, img_nn.dtype)
+    payload = jnp.concatenate([img_lin.astype(dtype),
+                               img_nn.astype(dtype)], axis=-1)
+    padded = jnp.concatenate([payload[:, :1], payload], axis=1)
+    padded = jnp.concatenate([padded[:, :, :1], padded], axis=2)
+    taps = _gather_2d(_pack_taps(padded), jj, ii)  # (B, Ho, Wo, 4(Cl+Cn))
+    c = c_lin + img_nn.shape[-1]
+    t00, t01, t10, t11 = (taps[..., :c], taps[..., c:2 * c],
+                          taps[..., 2 * c:3 * c], taps[..., 3 * c:])
+
+    # bilinear / zeros: same per-tap multiply order as the zeros branch
+    vals = 0.0
+    for gi, dy, dx, wgt_y, wgt_x in (
+            (t00[..., :c_lin], 0, 0, 1.0 - wy, 1.0 - wx),
+            (t01[..., :c_lin], 0, 1, 1.0 - wy, wx),
+            (t10[..., :c_lin], 1, 0, wy, 1.0 - wx),
+            (t11[..., :c_lin], 1, 1, wy, wx)):
+        inside = ((x0 + dx >= 0) & (x0 + dx <= w - 1)
+                  & (y0 + dy >= 0) & (y0 + dy <= h - 1))
+        vals = vals + gi * wgt_x * wgt_y \
+            * inside[..., None].astype(gi.dtype)
+
+    # nearest / border: select the tap whose clamped source pixel equals
+    # the clamped rounded index (round-half-to-even, torch nearbyint)
+    ry = jnp.clip(jnp.round(y), 0, h - 1).astype(jnp.int32)
+    rx = jnp.clip(jnp.round(x), 0, w - 1).astype(jnp.int32)
+    sel_y0 = (jnp.maximum(jj - 1, 0) == ry)[..., None]
+    sel_x0 = (jnp.maximum(ii - 1, 0) == rx)[..., None]
+    top_nn = jnp.where(sel_x0, t00[..., c_lin:], t01[..., c_lin:])
+    bot_nn = jnp.where(sel_x0, t10[..., c_lin:], t11[..., c_lin:])
+    nn_out = jnp.where(sel_y0, top_nn, bot_nn)
+    return vals, nn_out

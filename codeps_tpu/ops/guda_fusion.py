@@ -413,6 +413,93 @@ def blockspace_conv3x3(z: jnp.ndarray, kernel: jnp.ndarray,
     return out.reshape(b, hb, wb, blk, blk, c_out)
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_pattern(r: int, block: int, mode: str = "bilinear") -> np.ndarray:
+    """F[d, t, m]: weight of input pixel (k*a + m - 1) in the x r
+    upsample at full-res position block*a + (t + d - 1), for conv taps
+    d in {-1, 0, 1}, output phases t in [0, block), window offsets
+    m in [0, k+2), k = block // r.
+
+    This is _phase_pattern's T re-indexed through the regroup: output
+    phase t of the block view is phase t % r of the r-grid position
+    k*a + t//r, whose 3-tap window sits at m = t//r + n. A stride-k
+    (k+2)-window conv with the F-expanded kernel therefore emits the
+    block-grid output DIRECTLY — no post-conv _regroup_to_block
+    reshuffle of a full-res-sized tensor.
+    """
+    k = block // r
+    assert block == k * r, (r, block)
+    pattern = _phase_pattern(r, mode)              # (3, r, 3)
+    fold = np.zeros((3, block, k + 2), np.float32)
+    for t in range(block):
+        for n in range(3):
+            fold[:, t, t // r + n] = pattern[:, t % r, n]
+    return fold
+
+
+def _phase_conv_to_block(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
+                         block: int, mode: str = "bilinear") -> jnp.ndarray:
+    """Main phase term of conv3x3(U_r(x)) emitted straight in the
+    factor-``block`` block-phase view: (B, H/block, W/block, block,
+    block, C_out) from x at the small grid, one stride-k conv, no
+    regroup transpose. Same multiset of multiply-adds as
+    _phase_conv + _regroup_to_block (contraction grouping differs only
+    in f32 rounding). Exact everywhere except the 1px output ring
+    (apply the summed border excess as before)."""
+    k = block // r
+    fold = jnp.asarray(_fold_pattern(r, block, mode), kernel.dtype)
+    c_in, c_out = kernel.shape[2], kernel.shape[3]
+    fused = jnp.einsum("deio,dta,esb->abitso", kernel, fold, fold,
+                       precision=jax.lax.Precision.HIGHEST)
+    fused = fused.reshape(k + 2, k + 2, c_in, block * block * c_out)
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        xpad, fused, (k, k), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    b, hb, wb = z.shape[:3]
+    return z.reshape(b, hb, wb, block, block, c_out)
+
+
+@functools.lru_cache(maxsize=None)
+def _blockfold_select(blk: int, block: int) -> np.ndarray:
+    """S[d, t, m, p] = 1 iff block-view output phase t's kernel tap d
+    (of 3) reads phase p of the input block at window offset m (of
+    k+2, k = block // blk): full-res row block*a + t + d - 1 ==
+    blk*(k*a + m - 1) + p."""
+    k = block // blk
+    sel = np.zeros((3, block, k + 2, blk), np.float32)
+    for t in range(block):
+        for d in range(3):
+            u = t + d - 1                      # in [-1, block]
+            sel[d, t, u // blk + 1, u % blk] = 1.0
+    return sel
+
+
+def blockspace_conv3x3_to_block(z: jnp.ndarray, kernel: jnp.ndarray,
+                                block: int) -> jnp.ndarray:
+    """Full-resolution zero-pad 3x3 conv of a factor-``blk`` block-phase
+    tensor, emitted straight in the factor-``block`` view: z (B, H/blk,
+    W/blk, blk, blk, C_in) -> (B, H/block, W/block, block, block,
+    C_out). One stride-k conv over the flattened phase channels with
+    the conv's own zero padding — replaces blockspace_conv3x3 +
+    regroup_block (which paid an odd-shift concat + reshape + a
+    full-res-sized regroup transpose)."""
+    b, h2, w2, blk, _, c_in = z.shape
+    c_out = kernel.shape[3]
+    k = block // blk
+    sel = jnp.asarray(_blockfold_select(blk, block), kernel.dtype)
+    # E[my, mx, py, px, i, ty, tx, o]
+    fused = jnp.einsum("deio,dtuv,eswx->uwvxitso", kernel, sel, sel,
+                       precision=_hp())
+    fused = fused.reshape(k + 2, k + 2, blk * blk * c_in,
+                          block * block * c_out)
+    flat = z.reshape(b, h2, w2, blk * blk * c_in)
+    out = jax.lax.conv_general_dilated(
+        flat, fused, (k, k), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out.reshape(b, h2 // k, w2 // k, block, block, c_out)
+
+
 def regroup_block(z: jnp.ndarray, big: int) -> jnp.ndarray:
     """Block-phase view of factor blk -> factor ``big`` (a multiple):
     (B, hb, wb, blk, blk, C) -> (B, hb*blk/big, ..., big, big, C).
@@ -451,10 +538,11 @@ def guda_fused_semconv_blockspace(feats, kernel: jnp.ndarray,
         w_s = kernel[:, :, offset:offset + c, :]
         offset += c
         if feat.ndim == 6:
-            # full-res scale already in block-phase view: conv it there
-            # (exact zero-pad semantics) and regroup to the common block
-            z2 = blockspace_conv3x3(feat, w_s, pad="zero")
-            z = regroup_block(z2, block)
+            # full-res scale already in block-phase view: ONE stride-k
+            # fold conv emits the common-block output directly (exact
+            # zero-pad semantics; replaces blockspace_conv3x3 +
+            # regroup_block and their full-res-sized reshuffles)
+            z = blockspace_conv3x3_to_block(feat, w_s, block)
             z_sum = z if z_sum is None else z_sum + z
             continue
         h, w = feat.shape[1:3]
@@ -464,11 +552,10 @@ def guda_fused_semconv_blockspace(feats, kernel: jnp.ndarray,
         else:
             r = out_h // h
             assert out_h == h * r and out_w == w * r
-            fused_kernel = _phase_kernel(w_s, r)
-            xpad = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                           mode="edge")
-            raw = _conv(xpad, fused_kernel, "VALID")
-            z = _regroup_to_block(raw, r, block, c_out)
+            # stride-(block//r) fold conv: block-grid output directly,
+            # no _regroup_to_block transpose (for r == block this IS
+            # the plain phase conv: window 3, stride 1)
+            z = _phase_conv_to_block(feat, w_s, r, block)
             excesses.append(_border_excess(feat, w_s, out_res))
         z_sum = z if z_sum is None else z_sum + z
     if excesses:

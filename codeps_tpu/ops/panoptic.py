@@ -59,22 +59,44 @@ def find_instance_centers(center_heatmap: jnp.ndarray,
         window_strides=(1, 1),
         padding=[(pad, pad), (pad, pad)])
     keep = (hm == pooled) & (hm > 0)
-    scores = jnp.where(keep, hm, -1.0).reshape(-1)
+    scores = jnp.where(keep, hm, 0.0).reshape(-1)
 
-    top_scores, top_idx = jax.lax.top_k(scores, top_k)
     # Reference keeps centers STRICTLY above the top_k-th score once the
     # candidate count reaches top_k (post_processing_panoptic.py:64-70:
     # nonzero(hm > top_k_scores[-1]) — at most top_k-1 survive, ties
     # with the k-th all drop); below top_k every positive survives.
-    num_pos = jnp.sum(scores > 0)
-    valid = jnp.where(num_pos >= top_k, top_scores > top_scores[-1],
-                      top_scores > 0)
-    # Re-sort by spatial position for reference id-order parity.
-    sort_key = jnp.where(valid, top_idx, height * width + top_idx)
-    order = jnp.argsort(sort_key)
-    top_idx = top_idx[order]
-    top_scores = top_scores[order]
-    valid = valid[order]
+    # Both cases are ONE rule over the exact k-th-largest threshold t of
+    # the 0-sentineled score map (saturated: t = k-th positive score;
+    # unsaturated: t = 0): survivors = scores > t. lax.top_k would sort
+    # the whole H*W map on TPU; radix selection (ops/topk.py) plus a
+    # block-cumsum compaction replaces sort + argsort, and yields the
+    # survivors directly in raster order — the reference's id order
+    # (torch.nonzero), previously restored with an extra argsort.
+    from codeps_tpu.ops.topk import kth_largest
+    t = kth_largest(scores, top_k)
+    mask = scores > t
+
+    n = scores.shape[0]
+    block = 512
+    padn = (-n) % block
+    maskp = (jnp.concatenate([mask, jnp.zeros((padn,), bool)])
+             if padn else mask)
+    m2 = maskp.reshape(-1, block)
+    bcnt = jnp.sum(m2, axis=1, dtype=jnp.int32)           # (G,)
+    boff = jnp.cumsum(bcnt) - bcnt                        # exclusive
+    ranks = jnp.arange(top_k, dtype=jnp.int32)
+    # containing block of rank j: last g with boff[g] <= j (empty blocks
+    # share the next block's boff, so side='right' skips them)
+    g = (jnp.searchsorted(boff, ranks, side="right") - 1).astype(jnp.int32)
+    rows = m2[g]                                          # (top_k, block)
+    loc_rank = ranks - boff[g]
+    loc_cum = jnp.cumsum(rows, axis=1) - 1
+    hit = rows & (loc_cum == loc_rank[:, None])
+    valid = jnp.any(hit, axis=1)                          # rank exists
+    top_idx = g * block + jnp.sum(
+        jnp.where(hit, jnp.arange(block, dtype=jnp.int32)[None, :], 0),
+        axis=1)
+    top_scores = jnp.where(valid, scores[top_idx], -1.0)
 
     ys = (top_idx // width).astype(jnp.float32)
     xs = (top_idx % width).astype(jnp.float32)

@@ -335,7 +335,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         ``sem_pred`` carries precomputed pseudo-labels when the teacher
         already ran batched with the metrics eval (see adapt_step).
         """
-        from codeps_tpu.ops.grid_sample import grid_sample
         from codeps_tpu.ops.panoptic import get_panoptic_segmentation
         from codeps_tpu.tasks.mixup_prep import c2c_grid
 
@@ -360,12 +359,14 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             src_size = rgb_src.shape[1:3]
             grid = c2c_grid(mixup["intr_tgt"], mixup["intr_src"],
                             rgb_tgt.shape[1:3], src_size)
-            rgb_tgt_w = grid_sample(rgb_tgt, grid, mode="bilinear",
-                                    padding_mode="zeros")
-            sem_w = grid_sample(
-                sem_pred.astype(jnp.float32)[..., None], grid,
-                mode="nearest",
-                padding_mode="border")[..., 0].astype(jnp.int32)
+            # ONE packed gather for the shared-grid bilinear RGB +
+            # nearest semantic samples (bit-identical to two
+            # grid_sample calls; TPU gathers cost per ROW, so the
+            # fusion halves the c2c warp's gather time)
+            from codeps_tpu.ops.grid_sample import grid_sample_pair
+            rgb_tgt_w, sem_w_f = grid_sample_pair(
+                rgb_tgt, sem_pred.astype(jnp.float32)[..., None], grid)
+            sem_w = sem_w_f[..., 0].astype(jnp.int32)
         else:
             rgb_tgt_w, sem_w = rgb_tgt, sem_pred
 

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from codeps_tpu.models.codeps_net import CodepsModules
-from codeps_tpu.ops.grid_sample import grid_sample
 from codeps_tpu.ops.panoptic import get_panoptic_segmentation
 from codeps_tpu.tasks.forward import apply_encoder
 
@@ -105,15 +104,14 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
 
         tgt_size = rgb_tgt.shape[1:3]
         grid = c2c_grid(intr_tgt, intr_src, tgt_size, src_size)
-        rgb_w = grid_sample(rgb_tgt, grid, mode="bilinear",
-                            padding_mode="zeros")
-        # instance (nearest+zeros) and semantic (nearest+border) share
-        # the grid and the clipped nearest index — TPU gathers serialize
-        # per ROW (~width-independent), so pack both into ONE 2-channel
-        # gather and recover zeros-padding by masking the instance
-        # channel with the insideness of the UNCLIPPED rounded index
-        # (identical to grid_sample's nearest+zeros arithmetic).
-        from codeps_tpu.ops.grid_sample import _unnormalize
+        # ONE packed gather for everything sharing the grid: the
+        # bilinear/zeros RGB and the nearest/border label pair (TPU
+        # gathers serialize per ROW, ~width-independent — see
+        # grid_sample_pair). instance needs nearest+ZEROS semantics;
+        # recover it by masking the border-sampled channel with the
+        # insideness of the UNCLIPPED rounded index (identical to
+        # grid_sample's nearest+zeros arithmetic).
+        from codeps_tpu.ops.grid_sample import _unnormalize, grid_sample_pair
         th, tw = tgt_size
         ux = _unnormalize(grid[..., 0], tw)
         uy = _unnormalize(grid[..., 1], th)
@@ -124,8 +122,7 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
         inside = ((rx >= 0) & (rx <= tw - 1) & (ry >= 0) & (ry <= th - 1))
         pair = jnp.stack([instance.astype(jnp.float32),
                           sem_pred.astype(jnp.float32)], axis=-1)
-        pair_w = grid_sample(pair, grid, mode="nearest",
-                             padding_mode="border")
+        rgb_w, pair_w = grid_sample_pair(rgb_tgt, pair, grid)
         inst_w = (pair_w[..., 0] * inside).astype(jnp.int32)
         sem_w = pair_w[..., 1].astype(jnp.int32)
         return rgb_w, sem_w, inst_w

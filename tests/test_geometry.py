@@ -180,6 +180,41 @@ def test_grid_sample_nearest_half_tie_matches_torch(padding_mode):
     np.testing.assert_array_equal(np.asarray(ours).ravel(), ref)
 
 
+def test_grid_sample_pair_bit_exact_vs_separate_calls():
+    # grid_sample_pair fuses bilinear/zeros + nearest/border over one
+    # shared grid into ONE gather; values must be BIT-identical to the
+    # two separate grid_sample calls, including out-of-range anchors,
+    # exact-integer coordinates, and round-half-to-even ties.
+    from codeps_tpu.ops.grid_sample import grid_sample_pair
+
+    batch, height, width = 2, 9, 13
+    rng = np.random.default_rng(7)
+    img_lin = rng.uniform(0, 1, (batch, height, width, 3)).astype(np.float32)
+    img_nn = rng.integers(0, 2000, (batch, height, width, 2)).astype(
+        np.float32)
+    grid = rng.uniform(-1.4, 1.4, (batch, height, width, 2)).astype(
+        np.float32)
+    # edge cases: exact integer coords, exact .5 source coords (ties),
+    # anchors straddling every clamp regime
+    grid[0, 1, 0] = [-1.0, -1.0]
+    grid[0, 1, 1] = [1.0, 1.0]
+    grid[0, 1, 2] = [(0.5 / (width - 1) - 0.5) * 2.0,
+                     (2.5 / (height - 1) - 0.5) * 2.0]   # .5 ties
+    grid[0, 1, 3] = [-1.0 - 0.7 * 2.0 / (width - 1), 0.0]
+    grid[0, 1, 4] = [1.0 + 0.4 * 2.0 / (width - 1), 1.0]
+    grid[0, 1, 5] = [-3.0, 2.5]                          # far outside
+
+    lin_ref = grid_sample(jnp.asarray(img_lin), jnp.asarray(grid),
+                          mode="bilinear", padding_mode="zeros")
+    nn_ref = grid_sample(jnp.asarray(img_nn), jnp.asarray(grid),
+                         mode="nearest", padding_mode="border")
+    lin_out, nn_out = grid_sample_pair(jnp.asarray(img_lin),
+                                       jnp.asarray(img_nn),
+                                       jnp.asarray(grid))
+    np.testing.assert_array_equal(np.asarray(lin_out), np.asarray(lin_ref))
+    np.testing.assert_array_equal(np.asarray(nn_out), np.asarray(nn_ref))
+
+
 @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
 def test_warp_image_matches_reference(mode):
     batch, height, width = 2, 12, 18
