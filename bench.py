@@ -107,6 +107,8 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
         remat = False
     else:
         remat = tuple(int(s) for s in remat_env.split(",") if s)
+    # BENCH_S2D=1: space-to-depth conv1 A/B (cfg.tpu.s2d_conv1)
+    cfg.tpu.s2d_conv1 = os.environ.get("BENCH_S2D", "0") == "1"
     import jax.numpy as _jnp
     modules = build_modules(cfg, num_classes, dtype=_jnp.bfloat16,
                             remat=remat)

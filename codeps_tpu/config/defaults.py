@@ -271,4 +271,9 @@ def _tpu_defaults() -> dict:
         # mesh (per-frame latency lever; the reference caps adaptation
         # at 1 GPU, scripts/adapt_codeps.py:391). parallel/spatial.py.
         "spatial_shard": False,
+        # Execute encoder conv1 via the exact space-to-depth fold
+        # (models/resnet.py _fold_conv1_s2d). Measured REGRESSION on the
+        # v5e adapt step (4.43 -> 4.25 steps/s, 384x1280); opt-in for
+        # shapes where the 7x7/s2 conv1 dominates.
+        "s2d_conv1": False,
     }

@@ -43,16 +43,34 @@ def _avg_pool_3x3_reflect(x: jnp.ndarray) -> jnp.ndarray:
     return out / 9.0
 
 
-def ssim(src_img: jnp.ndarray, target_img: jnp.ndarray) -> jnp.ndarray:
+def ssim_target_stats(target_img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute the target-side SSIM pools ``(mu_y, pool(y*y))``.
+
+    ``reconstruction_loss`` evaluates 4 photometric errors per scale (2
+    warped + 2 identity) against the SAME target pyramid level; the
+    target's mean/second-moment pools are identical across those calls,
+    so computing them once drops 6 of the 24 reduce-windows per scale.
+    Bit-exact: same ops on the same inputs, CSE made explicit.
+    """
+    return (_avg_pool_3x3_reflect(target_img),
+            _avg_pool_3x3_reflect(target_img * target_img))
+
+
+def ssim(src_img: jnp.ndarray, target_img: jnp.ndarray,
+         target_stats: tuple[jnp.ndarray, jnp.ndarray] | None = None
+         ) -> jnp.ndarray:
     """SSIM-based dissimilarity: clamp((1 - SSIM)/2, 0, 1), per pixel/channel.
 
     Parity: SSIMLoss.__call__ (/root/reference/algos/depth.py:128-155).
+    ``target_stats`` optionally carries ``ssim_target_stats(target_img)``.
     """
     mu_x = _avg_pool_3x3_reflect(src_img)
-    mu_y = _avg_pool_3x3_reflect(target_img)
+    if target_stats is None:
+        target_stats = ssim_target_stats(target_img)
+    mu_y, pool_y2 = target_stats
 
     sigma_x = _avg_pool_3x3_reflect(src_img * src_img) - mu_x * mu_x
-    sigma_y = _avg_pool_3x3_reflect(target_img * target_img) - mu_y * mu_y
+    sigma_y = pool_y2 - mu_y * mu_y
     sigma_xy = _avg_pool_3x3_reflect(src_img * target_img) - mu_x * mu_y
 
     ssim_n = (2.0 * mu_x * mu_y + _SSIM_C1) * (2.0 * sigma_xy + _SSIM_C2)
@@ -61,14 +79,17 @@ def ssim(src_img: jnp.ndarray, target_img: jnp.ndarray) -> jnp.ndarray:
 
 
 def photometric_error(pred_img: jnp.ndarray, target_img: jnp.ndarray,
-                      alpha: float = 0.85) -> jnp.ndarray:
+                      alpha: float = 0.85,
+                      target_stats: tuple[jnp.ndarray, jnp.ndarray] | None = None
+                      ) -> jnp.ndarray:
     """alpha*SSIM + (1-alpha)*L1, channel-averaged -> (B, H, W, 1).
 
     Parity: ReconstructionLoss._compute_loss
     (/root/reference/algos/depth.py:221-237).
     """
     l1 = jnp.mean(jnp.abs(pred_img - target_img), axis=-1, keepdims=True)
-    ssim_term = jnp.mean(ssim(pred_img, target_img), axis=-1, keepdims=True)
+    ssim_term = jnp.mean(ssim(pred_img, target_img, target_stats),
+                         axis=-1, keepdims=True)
     return alpha * ssim_term + (1.0 - alpha) * l1
 
 
@@ -131,6 +152,9 @@ def reconstruction_loss(
         target_s = resize_bilinear(target, (scaled_h, scaled_w))
         # depth pyramid stays f32: it feeds the sampling grids
         depth_s = resize_bilinear(depth_map, (scaled_h, scaled_w))
+        # target-side SSIM pools shared by all 4 photometric errors at
+        # this scale (bit-exact explicit CSE; see ssim_target_stats)
+        tstats = ssim_target_stats(target_s)
 
         recon_losses = []
         frames_s = []
@@ -147,9 +171,9 @@ def reconstruction_loss(
             # the bilinear tap combine runs at grid (f32) precision;
             # bring the prediction back to the image dtype for SSIM/L1
             recon_losses.append(photometric_error(pred.astype(dtype),
-                                                  target_s, alpha))
+                                                  target_s, alpha, tstats))
 
-        identity_losses = [photometric_error(frame_s, target_s, alpha)
+        identity_losses = [photometric_error(frame_s, target_s, alpha, tstats)
                            for frame_s in frames_s]
         # The automask min + tie-break noise run in f32 regardless of the
         # image dtype: the 1e-5 noise is below bf16 resolution of the
@@ -203,6 +227,7 @@ def reconstruction_loss_semantic(
                                           (scaled_h, scaled_w))
         target_s = resize_nearest(target, (scaled_h, scaled_w))
         depth_s = resize_bilinear(depth_map, (scaled_h, scaled_w))
+        tstats = ssim_target_stats(target_s)
 
         losses = []
         for i, frame in enumerate(semantic_masks[1:]):
@@ -212,7 +237,7 @@ def reconstruction_loss_semantic(
             frame_s = resize_nearest(frame_f, (scaled_h, scaled_w))
             pred = warp_image(intr_s, frame_s, depth_s, poses[i],
                               interp_mode="nearest")
-            losses.append(photometric_error(pred, target_s, alpha))
+            losses.append(photometric_error(pred, target_s, alpha, tstats))
         per_pixel = jnp.concatenate(losses, axis=-1)
         total = total + jnp.mean(per_pixel) / (2 ** s)
 

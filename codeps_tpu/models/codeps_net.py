@@ -60,13 +60,15 @@ def build_modules(cfg, num_classes: int,
     make_sflow = cfg.model.make_sflow
     make_semantic = cfg.model.make_semantic
     make_instance = cfg.model.make_instance
+    tpu_cfg = cfg.get("tpu", {})
     if remat is None:
-        tpu_cfg = cfg.get("tpu", {})
         # bool (all stages) or a list of encoder stage numbers in 1..4
         remat = tpu_cfg.get("remat", False) if tpu_cfg else False
+    s2d_conv1 = tpu_cfg.get("s2d_conv1", False) if tpu_cfg else False
 
     backbone = make_encoder(cfg.model.po_depth_net.params.nof_layers,
-                            dtype=dtype, axis_name=axis_name, remat=remat)
+                            dtype=dtype, axis_name=axis_name, remat=remat,
+                            s2d_conv1=s2d_conv1)
     num_ch_enc = backbone.num_ch_enc
 
     backbone_pose = None
@@ -78,7 +80,8 @@ def build_modules(cfg, num_classes: int,
         backbone_pose = make_encoder(
             cfg.model.pose_sflow_net.params.nof_layers,
             num_input_images=2, num_channels_input=channels,
-            dtype=dtype, axis_name=axis_name, remat=remat)
+            dtype=dtype, axis_name=axis_name, remat=remat,
+            s2d_conv1=s2d_conv1)
         depth_head = DepthHead(num_ch_enc=tuple(num_ch_enc), use_skips=True,
                                dtype=dtype)
         pose_head = PoseHead(dtype=dtype)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,24 +35,77 @@ _KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_out",
                                                 "truncated_normal")
 
 
+class _Conv1Kernel(nn.Module):
+    """Bare (7,7,C,F) conv kernel param, path-compatible with nn.Conv
+    (module name 'conv', param name 'kernel') so checkpoints/freeze
+    masks/EMA see the identical tree whether or not the space-to-depth
+    execution path is active."""
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _KERNEL_INIT,
+                          (7, 7, self.in_ch, self.features))
+
+
+def _fold_conv1_s2d(kernel: jnp.ndarray) -> jnp.ndarray:
+    """Fold a (7,7,C,F) stride-2 kernel into the (4,4,4C,F) kernel of the
+    equivalent stride-1 conv over the 2x2 space-to-depth input.
+
+    Derivation: with input row r = 2*oy + ky - 3 (pad 3) written as
+    r = 2u + py, the kernel tap is ky = 2a + py - 1 for block row
+    a = u - oy + 2 in [0,4) — i.e. the folded kernel is the 7x7 kernel
+    front-padded by one zero row/col and regrouped by (block, phase).
+    Same multiply-add terms as the original conv (summation order
+    aside); the classic TPU conv1 rewrite (small-C stride-2 7x7 convs
+    under-utilize MXU tiling; 4C channels at stride 1 tile cleanly).
+    """
+    c_in, feats = kernel.shape[2], kernel.shape[3]
+    k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    k = k.reshape(4, 2, 4, 2, c_in, feats).transpose(0, 2, 1, 3, 4, 5)
+    return k.reshape(4, 4, 4 * c_in, feats)
+
+
 class _ConvBN(nn.Module):
-    """Conv (no bias) + BatchNorm, torch eps/momentum."""
+    """Conv (no bias) + BatchNorm, torch eps/momentum.
+
+    ``s2d`` (7x7/stride-2 convs only): execute via the space-to-depth
+    fold above — exact up to float summation order, equality-tested in
+    tests/test_models.py.
+    """
     features: int
     kernel: int
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        pad = (self.kernel - 1) // 2
-        x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)],
-                    feature_group_count=self.groups,
-                    use_bias=False, dtype=self.dtype,
-                    kernel_init=_KERNEL_INIT, name="conv")(x)
+        if (self.s2d and self.kernel == 7 and self.stride == 2
+                and self.groups == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            kernel = _Conv1Kernel(self.features, x.shape[-1],
+                                  name="conv")()
+            b, h, w, c = x.shape
+            xs = x.reshape(b, h // 2, 2, w // 2, 2, c)
+            xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // 2, w // 2, 4 * c)
+            x = jax.lax.conv_general_dilated(
+                xs.astype(self.dtype),
+                _fold_conv1_s2d(kernel).astype(self.dtype),
+                window_strides=(1, 1), padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            pad = (self.kernel - 1) // 2
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        strides=(self.stride, self.stride),
+                        padding=[(pad, pad), (pad, pad)],
+                        feature_group_count=self.groups,
+                        use_bias=False, dtype=self.dtype,
+                        kernel_init=_KERNEL_INIT, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
                          axis_name=self.axis_name if train else None,
@@ -129,6 +183,15 @@ class ResNetEncoder(nn.Module):
     # so remat=(1, 2) buys most of the memory for a fraction of the
     # recompute FLOPs.
     remat: bool | tuple = False
+    # Execute conv1 via the space-to-depth fold (_fold_conv1_s2d): exact
+    # up to summation order, same param tree. Default OFF — A/B'd on the
+    # v5e adapt step (384x1280) and REGRESSED 4.43 -> 4.25 steps/s: the
+    # full-res s2d transpose is itself a layout copy and the folded
+    # kernel carries +30% structural-zero FLOPs, which together exceed
+    # what the denser channel tiling buys at this shape. Kept as an
+    # equality-tested opt-in (cfg.tpu.s2d_conv1 / BENCH_S2D) for shapes
+    # where conv1 is a bigger share (deep-C pretrain feeds).
+    s2d_conv1: bool = False
 
     @property
     def num_ch_enc(self) -> np.ndarray:
@@ -156,7 +219,7 @@ class ResNetEncoder(nn.Module):
         features = []
 
         x = _ConvBN(64, 7, 2, dtype=self.dtype, axis_name=self.axis_name,
-                    name="conv1")(x, train)
+                    s2d=self.s2d_conv1, name="conv1")(x, train)
         x = nn.relu(x)
         features.append(x)
 
@@ -187,7 +250,8 @@ class ResNetEncoder(nn.Module):
 def make_encoder(num_layers: int, num_input_images: int = 1,
                  num_channels_input: int = 3, dtype: Any = jnp.float32,
                  axis_name: str | None = None,
-                 remat: bool | tuple | list = False) -> ResNetEncoder:
+                 remat: bool | tuple | list = False,
+                 s2d_conv1: bool = False) -> ResNetEncoder:
     assert num_layers in _STAGES, f"Unsupported ResNet depth: {num_layers}"
     if num_input_images > 1 or num_channels_input != 3:
         # Reference restricts multi-image encoders to 18/50
@@ -199,4 +263,5 @@ def make_encoder(num_layers: int, num_input_images: int = 1,
     return ResNetEncoder(num_layers=num_layers,
                          num_input_images=num_input_images,
                          num_channels_input=num_channels_input,
-                         dtype=dtype, axis_name=axis_name, remat=remat)
+                         dtype=dtype, axis_name=axis_name, remat=remat,
+                         s2d_conv1=s2d_conv1)

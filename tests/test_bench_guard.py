@@ -107,3 +107,32 @@ def test_guard_passes_on_live_backend():
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+
+
+def test_timing_discipline_forces_value_fetches():
+    """Tripwire for the TIMING HONESTY rule (bench.py module docstring):
+    over the axon relay, block_until_ready returns at DISPATCH for
+    donated executables, so honest timing requires a forced value fetch
+    (float(...)) inside every timed window. Assert (a) every
+    ``timed*`` closure handed to _differential_elapsed contains a
+    float(...) force, and (b) bench.py never relies on
+    block_until_ready for timing (the documented foot-gun)."""
+    import ast
+
+    src = (REPO / "bench.py").read_text()
+    assert "block_until_ready" not in src.replace(
+        "block_until_ready does not reliably wait", ""), \
+        "bench.py must not time via block_until_ready (dispatch latency)"
+
+    tree = ast.parse(src)
+    timed_funcs = [n for n in ast.walk(tree)
+                   if isinstance(n, ast.FunctionDef)
+                   and n.name.startswith("timed")]
+    assert timed_funcs, "expected timed() closures in bench.py"
+    for fn in timed_funcs:
+        forces = [n for n in ast.walk(fn)
+                  if isinstance(n, ast.Call)
+                  and isinstance(n.func, ast.Name)
+                  and n.func.id == "float"]
+        assert forces, (f"bench.py:{fn.lineno} {fn.name}() has no "
+                        "float(...) value-fetch force")

@@ -242,3 +242,49 @@ def test_codeps_net_facade():
 
     result = net(image, mode="eval")
     assert result["panoptic"].shape == (1, 32, 64)
+
+
+def test_encoder_s2d_conv1_matches_plain():
+    """The space-to-depth conv1 fold (resnet._fold_conv1_s2d) computes the
+    same multiply-add terms as the 7x7/stride-2 conv — values and grads
+    match the plain path within f32 reassociation noise, on the SAME
+    param tree (the fold is an execution detail, not a parametrization).
+    Odd input sizes fall back to the plain conv (shape contract)."""
+    from codeps_tpu.models.resnet import ResNetEncoder
+
+    x = jnp.asarray(RNG.uniform(0, 1, (2, 32, 48, 6)).astype(np.float32))
+    plain = ResNetEncoder(num_layers=18, num_input_images=2,
+                          s2d_conv1=False)
+    s2d = ResNetEncoder(num_layers=18, num_input_images=2, s2d_conv1=True)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    # identical param trees (fold happens at apply time)
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree.all(jax.tree.map(lambda a, b: a.shape == b.shape,
+                                     variables["params"], v2["params"]))
+
+    def loss_fn(enc):
+        def loss(params):
+            feats = enc.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, False)
+            return sum(jnp.sum(f ** 2) for f in feats)
+        return loss
+
+    fp = jax.value_and_grad(loss_fn(plain))(variables["params"])
+    fs = jax.value_and_grad(loss_fn(s2d))(variables["params"])
+    np.testing.assert_allclose(float(fp[0]), float(fs[0]), rtol=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-3), fp[1], fs[1])
+
+    # per-pixel conv1 feature agreement (tightest surface: one conv+BN)
+    f_plain = plain.apply(variables, x, train=False)[0]
+    f_s2d = s2d.apply(variables, x, train=False)[0]
+    np.testing.assert_allclose(np.asarray(f_s2d), np.asarray(f_plain),
+                               rtol=1e-4, atol=1e-5)
+
+    # odd spatial size: s2d path must fall back, shapes unchanged
+    x_odd = jnp.asarray(RNG.uniform(0, 1, (1, 30, 46, 6)).astype(np.float32))
+    v_odd = s2d.init(jax.random.PRNGKey(0), x_odd, train=False)
+    f_odd = s2d.apply(v_odd, x_odd, train=False)[0]
+    assert f_odd.shape == (1, 15, 23, 64)
