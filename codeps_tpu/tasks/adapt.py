@@ -76,7 +76,8 @@ def build_eval_forward(modules: CodepsModules, cfg, thing_list,
     mean = tuple(cfg.dataset.normalization.rgb_mean)
     std = tuple(cfg.dataset.normalization.rgb_std)
 
-    def eval_step(params, batch_stats, batch, feats=None, sem_probs=None):
+    def eval_step(params, batch_stats, batch, feats=None, sem_probs=None,
+                  depth=None):
         if feats is None:
             image = (batch["frames"][:, 0] if "frames" in batch
                      else batch["image"])
@@ -88,8 +89,9 @@ def build_eval_forward(modules: CodepsModules, cfg, thing_list,
         results: Dict[str, Any] = {}
         stats: Dict[str, Any] = {}
         if modules.depth_head is not None:
-            depth, _ = modules.depth_head.apply(
-                {"params": params["depth_head"]}, feats)
+            if depth is None:
+                depth, _ = modules.depth_head.apply(
+                    {"params": params["depth_head"]}, feats)
             results["depth"] = depth
             if batch.get("depth_gt") is not None:
                 stats.update(compute_depth_metrics(
@@ -237,7 +239,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     fused_mixup: bool = False,
                     sem_ignore_classes=None,
                     donate: bool = True,
-                    eval_forward=None):
+                    eval_forward=None,
+                    eval_reuse_student: bool = True):
     """Build the jitted adaptation train step.
 
     When ``eval_forward`` (from build_eval_forward) is given, the step
@@ -248,6 +251,28 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     fused cut-mixup path, XLA CSE shares the teacher forward between the
     eval and the pseudo-label prep, so the reference's separate per-frame
     teacher eval pass (adapt_codeps.py:167-186) costs ~nothing here.
+
+    ``eval_reuse_student`` (default True) removes the teacher eval's
+    redundant forwards when they are provably identical to the student's:
+      - For FROZEN modules the teacher copy equals the student copy for
+        all time (ema_alpha=1 keeps the teacher at init; the optimizer
+        mask zeroes the student's updates), so the teacher eval reads the
+        student buffers, and — because the frozen shared encoder runs in
+        eval mode on both sides — the student loss pass's target-frame
+        encoder features are bit-identical to what the teacher encoder
+        would produce: they are sliced out of the loss forward instead of
+        recomputed (one fewer full-res ResNet pass per frame).
+      - For copy-class modules (neither EMA-filtered nor frozen, blend
+        alpha 0) the teacher copy equals the student's params at FRAME
+        START — update_weights copies after the previous frame's last
+        step (online_adap.py:279-289) — so reusing the student's
+        target-frame depth output for the eval metrics is exact whenever
+        the caller evaluates only on a frame's first adaptation step.
+        AdaptationRunner does exactly that (eval_forward is only wired
+        into the first-step executable at nof_adaptation_steps>1); set
+        eval_reuse_student=False if a custom driver evaluates mid-frame.
+    Both reuses are numerically exact under those disciplines (verified
+    by scripts/parity_adapt.py against the torch reference).
 
     Batch layout (all NHWC, frame axis order [t, t-1, t+1]):
       target: frames (1, 3, Ht, Wt, 3), camera (1, 4)
@@ -292,6 +317,16 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     encoder_train = "backbone_po_depth" not in frozen_modules
     pose_train = "backbone_pose_sflow" not in frozen_modules
     instance_train = "instance_head" not in frozen_modules
+
+    # Teacher-eval reuse preconditions (see docstring): feature reuse
+    # needs the shared encoder FROZEN — same buffers on both sides AND
+    # eval-mode BN in the student pass; depth reuse additionally needs
+    # the depth head outside the EMA filter (copy-class/frozen teacher
+    # copies equal the student's params at frame start).
+    reuse_feats = (eval_reuse_student and eval_forward is not None
+                   and "backbone_po_depth" in frozen_modules)
+    reuse_depth = reuse_feats and make_depth and \
+        "depth_head" not in ema_modules
 
     # Mixup sub-batches arrive sorted by strategy (canonical order);
     # ``mixup_groups`` = ((strategy, count), ...) partitions the Nm axis.
@@ -407,8 +442,9 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
     def _depth_domain(params, batch_stats, frames, camera, rng,
                       per_sample: bool = False):
         """Depth losses for one domain; returns (recon, smth, flow_losses,
-        transformations, last_feats, object_motion_maps). ``per_sample``
-        keeps the batch axis of recon/smth (merged-domain path)."""
+        transformations, last_feats, object_motion_maps, depth).
+        ``per_sample`` keeps the batch axis of recon/smth (merged-domain
+        path)."""
         images = [frames[:, 0], frames[:, 1], frames[:, 2]]
         if make_flow:
             per_frame, _ = encode_frames(modules, params, batch_stats,
@@ -435,7 +471,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
             flow_losses = (flow_smoothness_loss(fwd["object_motion_maps"]),
                            flow_sparsity_loss(fwd["object_motion_maps"]))
         return (recon, smth, flow_losses, fwd["transformations"], feats_t,
-                fwd["object_motion_maps"])
+                fwd["object_motion_maps"], fwd["depth"])
 
     mean = tuple(cfg.dataset.normalization.rgb_mean)
     std = tuple(cfg.dataset.normalization.rgb_std)
@@ -466,7 +502,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         target_feats = None
         if make_depth:
             rng, sub = jax.random.split(rng)
-            recon_s, smth_s, flow_s, _, _, _ = _depth_domain(
+            recon_s, smth_s, flow_s, _, _, _, _ = _depth_domain(
                 params, batch_stats, batch["source"]["frames"],
                 batch["source"]["camera"], sub)
             domain_stats.append((recon_s, smth_s, flow_s,
@@ -496,7 +532,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     [batch["target"]["camera"],
                      batch["target_replay"]["camera"]], axis=0)
                 rng, sub = jax.random.split(rng)
-                recon_vec, smth_vec, flow_t, transforms_tr, feats_tr, _ = \
+                (recon_vec, smth_vec, flow_t, transforms_tr, feats_tr, _,
+                 depth_tr) = \
                     _depth_domain(params, batch_stats, frames_tr,
                                   camera_tr, sub, per_sample=True)
                 recon_t = jnp.mean(recon_vec[:nt])
@@ -505,12 +542,13 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 smth_r = jnp.mean(smth_vec[nt:])
                 transforms_t = [t[:nt] for t in transforms_tr]
                 target_feats = [f[:nt] for f in feats_tr]
+                target_depth = depth_tr[:nt]
             else:
                 rng, sub = jax.random.split(rng)
                 (recon_t, smth_t, flow_t, transforms_t, target_feats,
-                 motion_t) = _depth_domain(params, batch_stats,
-                                           batch["target"]["frames"],
-                                           batch["target"]["camera"], sub)
+                 motion_t, target_depth) = _depth_domain(
+                     params, batch_stats, batch["target"]["frames"],
+                     batch["target"]["camera"], sub)
                 if make_flow:
                     # target-domain sflow maps surface in the step
                     # results for the motion panel (algos/depth.py:595 ->
@@ -537,7 +575,7 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                     flow_r = None
                 else:
                     rng, sub = jax.random.split(rng)
-                    recon_r, smth_r, flow_r, _, _, _ = _depth_domain(
+                    recon_r, smth_r, flow_r, _, _, _, _ = _depth_domain(
                         params, batch_stats,
                         batch["target_replay"]["frames"],
                         batch["target_replay"]["camera"], sub)
@@ -560,6 +598,18 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
                 modules.backbone_po_depth, params["backbone_po_depth"],
                 batch_stats["backbone_po_depth"],
                 batch["target"]["frames"][:, 0], train=encoder_train)
+            target_depth = None
+
+        if reuse_feats:
+            # Teacher-eval reuse: the frozen encoder's target-frame
+            # features (and, when reuse_depth, the copy-class depth
+            # head's output) from THIS forward are bit-identical to what
+            # the teacher eval would recompute — surface them so
+            # adapt_step can feed eval_forward without a second pass.
+            aux["eval_feats"] = [jax.lax.stop_gradient(f)
+                                 for f in target_feats]
+            if reuse_depth and target_depth is not None:
+                aux["eval_depth"] = jax.lax.stop_gradient(target_depth)
 
         # ---------------- source supervised panoptic
         source_feats, _ = apply_encoder(
@@ -718,17 +768,25 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
         eval_out = None
         plabel_sem = None
+        eval_batch = None
         if eval_forward is not None:
             # Teacher metrics-eval on the pre-update EMA params — same
             # ordering as the reference (eval before update_weights).
             eval_batch = {"frames": batch["target"]["frames"]}
             eval_batch.update(batch.get("eval_gt", {}))
             batch_teacher = (
-                fused_mixup and num_mixup > 0
+                not reuse_feats
+                and fused_mixup and num_mixup > 0
                 and modules.semantic_head is not None
                 and batch["mixup"]["rgb_tgt"].shape[1:3]
                 == batch["target"]["frames"].shape[2:4])
-            if batch_teacher:
+            if reuse_feats:
+                # Deferred eval: the target frame's encoder features (and
+                # depth) come out of the student loss pass below; only
+                # the mixup pseudo-label frames still need a teacher
+                # encoder pass, which _compose_cut_mixup runs in-loss.
+                pass
+            elif batch_teacher:
                 # The eval frame and the mixup pseudo-label frames share
                 # the target resolution: one teacher encoder + semantic
                 # pass at batch 1+Nm (teacher runs with frozen BN stats,
@@ -778,6 +836,23 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
 
         grad_fn = jax.value_and_grad(loss_trainable, has_aux=True)
         (total, aux), grads_live = grad_fn(trainable)
+
+        if reuse_feats:
+            # Deferred teacher eval on the student's target-frame
+            # features: EMA-filtered modules keep their genuine teacher
+            # buffers, every other module reads the student's (equal at
+            # frame start — see the make_adapt_step docstring). Ordering
+            # is irrelevant inside the pure program: everything here uses
+            # pre-update values.
+            t_params = {m: (state.ema_params[m] if m in ema_modules
+                            else state.params[m]) for m in state.params}
+            t_stats = {m: (state.ema_batch_stats[m] if m in ema_modules
+                           else state.batch_stats[m])
+                       for m in state.batch_stats}
+            eval_out = eval_forward(
+                t_params, t_stats, eval_batch,
+                feats=aux.pop("eval_feats"),
+                depth=aux.pop("eval_depth", None))
 
         if make_depth:
             skip = aux["target_skipped"]

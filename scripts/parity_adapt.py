@@ -137,11 +137,15 @@ def install_reference_stubs():
     if "kornia" not in sys.modules:
         kornia = module("kornia")
         contrib = module("kornia.contrib")
-
-        def distance_transform(*args, **kwargs):
-            raise RuntimeError("kornia stub: not used by cut_mixup")
-
-        contrib.distance_transform = distance_transform
+        # Faithful reimplementation of kornia's published conv-chamfer
+        # algorithm (scripts/kornia_dt.py) so the reference's
+        # conf_instance_mixup paste-offset path (mixup.py:587-590) runs
+        # end-to-end; codeps_tpu.data.mixup.kornia_dist_row's closed
+        # form is pinned to the same oracle by
+        # test_replay_buffer.py::test_conf_instance_dt_vs_kornia_algo.
+        sys.path.insert(0, str(REPO / "scripts"))
+        from kornia_dt import torch_distance_transform
+        contrib.distance_transform = torch_distance_transform
         kornia.contrib = contrib
 
     if "yacs" not in sys.modules:

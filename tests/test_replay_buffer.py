@@ -416,3 +416,39 @@ def test_continual_chain_prev_target_sampling(tmp_path):
         assert replay_item["rgb"][0].shape[:2] == (32, 48)
     # the diversity features carried over
     assert buffer2.sim_index.ntotal == 3
+
+
+def test_conf_instance_dt_vs_kornia_algo():
+    """conf_instance_mixup paste offsets match the reference's kornia
+    path (mixup.py:587-590): kornia_dist_row's closed form — exact
+    Chebyshev ring index + the conv-chamfer sub-pixel tie-break — must
+    reproduce a faithful reimplementation of kornia.contrib.
+    distance_transform's published iterative algorithm (scripts/
+    kornia_dt.py) value-for-value on the consumed row, hence select
+    identical argmax paste offsets."""
+    import importlib.util
+    import pathlib
+
+    from codeps_tpu.data.mixup import kornia_dist_row
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "kornia_dt", repo / "scripts" / "kornia_dt.py")
+    kornia_dt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kornia_dt)
+
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        h = int(rng.integers(6, 48))
+        w = int(rng.integers(6, 96))
+        mask = np.zeros((h, w), np.float32)
+        for _ in range(int(rng.integers(0, 4))):  # 0 blobs = all-zero case
+            y0 = int(rng.integers(0, max(h - 3, 1)))
+            x0 = int(rng.integers(0, max(w - 3, 1)))
+            mask[y0:y0 + int(rng.integers(2, 12)),
+                 x0:x0 + int(rng.integers(2, 18))] = 1
+        row = int(rng.integers(0, h))
+        full = kornia_dt.kornia_distance_transform(mask)[row, :]
+        ours = kornia_dist_row(mask, row)
+        np.testing.assert_allclose(ours, full, atol=1e-5)
+        assert int(np.argmax(ours)) == int(np.argmax(full))
