@@ -229,10 +229,33 @@ class Mixup:
     @staticmethod
     def conf_instance_mixup(img_src, img_tgt, instance_src, semantic_src,
                             semantic_pred_tgt, instance_pred_tgt,
-                            min_inst_size: int):
+                            min_inst_size: int, thing_list=None,
+                            num_classes: int = 14,
+                            conf_thresh: float = 0.0):
         """Paste whole target instances at the source position with
         maximum distance to existing things; later instances crop earlier
-        ones on conflict (mixup.py:346-403, 541-658)."""
+        ones on conflict (mixup.py:346-403, 541-658).
+
+        When ``thing_list`` is given, the reference's exact instance-map
+        derivation runs first (do_mixup -> get_conf_mask,
+        mixup.py:444-446, 541-549): exact center/offset maps are
+        recomputed from the (warped) ``instance_pred_tgt`` via
+        get_offset_center (= the reference's Mixup.get_off_cen ->
+        Dataset.get_offset_center) and RE-FUSED at
+        threshold_center=``conf_thresh`` — renumbering the ids (which
+        sets the paste iteration order) and intersecting the
+        warped-semantic thing mask. Without ``thing_list`` the warped
+        map is pasted directly (legacy shortcut, kept for callers
+        without label metadata)."""
+        if thing_list is not None:
+            offset, center = get_offset_center(
+                np.asarray(instance_pred_tgt, np.int32))
+            _, refused, _ = get_panoptic_segmentation(
+                jnp.asarray(np.asarray(semantic_pred_tgt, np.int32)),
+                jnp.asarray(center[..., 0]), jnp.asarray(offset),
+                tuple(thing_list), num_classes=num_classes,
+                threshold=float(conf_thresh), do_merge=False)
+            instance_pred_tgt = np.asarray(refused)
         height, width = semantic_pred_tgt.shape
         thing_msk = (instance_src != 0).astype(np.float32)
 
@@ -381,7 +404,9 @@ class Mixup:
             rgb, semantic, instance = Mixup.conf_instance_mixup(
                 img_src, img_tgt, instance_src, semantic_src,
                 semantic_pred, instance_pred,
-                cfg_mixup.conf_instance_mix.min_inst_size)
+                cfg_mixup.conf_instance_mix.min_inst_size,
+                thing_list=thing_list, num_classes=num_classes,
+                conf_thresh=cfg_mixup.conf_instance_mix.conf_thresh)
         else:
             raise NotImplementedError(
                 f"Mixup strategy not implemented: {mixup_strategy}")

@@ -437,7 +437,10 @@ class AdaptationRunner:
                 rgb, semantic, instance = Mixup.conf_instance_mixup(
                     img_src, rgb_w[i], instance_src, semantic_src,
                     sem_w[i], inst_w[i],
-                    cfg_mixup.conf_instance_mix.min_inst_size)
+                    cfg_mixup.conf_instance_mix.min_inst_size,
+                    thing_list=self.thing_list,
+                    num_classes=self.num_classes,
+                    conf_thresh=cfg_mixup.conf_instance_mix.conf_thresh)
             composed.append({
                 "rgb": {0: rgb},
                 "camera_model": item["camera_model_src"],
