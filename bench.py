@@ -347,6 +347,7 @@ def _bench_spatial(num_steps):
         donate=False, eval_forward=eval_forward)
 
     rng = np.random.default_rng(0)
+    from codeps_tpu.tasks.mixup_prep import c2c_prewarp
 
     def frames(n, h, w):
         return rng.uniform(0, 1, (n, 3, h, w, 3)).astype(np.float32)
@@ -376,8 +377,9 @@ def _bench_spatial(num_steps):
             "semantic_src": rng.integers(
                 0, num_classes, (num_mixup, hs, ws)).astype(np.int32),
             "rgb_tgt": frames(num_mixup, ht, wt)[:, 0],
-            "intr_src": camera(num_mixup, hs, ws),
-            "intr_tgt": camera(num_mixup, ht, wt),
+            "prewarp": c2c_prewarp(
+                camera(num_mixup, ht, wt), camera(num_mixup, hs, ws),
+                (ht, wt), (hs, ws)),
             "cut_cells": np.zeros((num_mixup, 2), np.int32),
         },
         "eval_gt": {
@@ -599,16 +601,15 @@ def _run_mode(mode):
             0, num_classes, (num_mixup, hs, ws)).astype(np.int32))
         mix_rgb_src = frames(num_mixup, hs, ws)[:, 0]
         loop_batch = dict(batch)
+        from codeps_tpu.tasks.mixup_prep import c2c_prewarp
         loop_batch["mixup"] = {
             "rgb_src": mix_rgb_src,
             "semantic_src": mix_sem_src,
             "rgb_tgt": mix_rgb_tgt,
-            "intr_src": jnp.tile(jnp.asarray(
-                [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32),
-                (num_mixup, 1)),
-            "intr_tgt": jnp.tile(jnp.asarray(
-                [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
-                (num_mixup, 1)),
+            "prewarp": jax.tree.map(jnp.asarray, c2c_prewarp(
+                np.tile([[720.0, 720.0, wt / 2, ht / 2]], (num_mixup, 1)),
+                np.tile([[600.0, 600.0, ws / 2, hs / 2]], (num_mixup, 1)),
+                (ht, wt), (hs, ws))),
         }
         if n_cut:
             loop_batch["mixup"]["cut_cells"] = jnp.zeros(
@@ -622,9 +623,16 @@ def _run_mode(mode):
             # one device program for pseudo-labels + c2c warp, numpy
             # strategy paste, then the composed samples upload
             from codeps_tpu.data.mixup import Mixup
-            from codeps_tpu.tasks.mixup_prep import make_plabel_prep_step
+            from codeps_tpu.tasks.mixup_prep import (c2c_prewarp,
+                                                     make_plabel_prep_step)
             plabel_prep = make_plabel_prep_step(
                 modules, (9, 10, 11, 12, 13), (hs, ws), geom_augment=True)
+            # fixed camera pair -> the host f64 warp precomputation and
+            # its upload happen once (AdaptationRunner caches likewise)
+            prewarp_dev = jax.tree.map(jnp.asarray, c2c_prewarp(
+                np.tile([[720.0, 720.0, wt / 2, ht / 2]], (num_mixup, 1)),
+                np.tile([[600.0, 600.0, ws / 2, hs / 2]], (num_mixup, 1)),
+                (ht, wt), (hs, ws)))
             host_rgb_src = np.asarray(mix_rgb_src)
             host_inst_src = np.random.default_rng(3).integers(
                 0, 4, (num_mixup, hs, ws)).astype(np.int32)
@@ -669,12 +677,7 @@ def _run_mode(mode):
             else:
                 rgb_w, sem_w, inst_w = plabel_prep(
                     state.ema_params, state.ema_batch_stats, mix_rgb_tgt,
-                    jnp.tile(jnp.asarray(
-                        [[600.0, 600.0, ws / 2, hs / 2]], jnp.float32),
-                        (num_mixup, 1)),
-                    jnp.tile(jnp.asarray(
-                        [[720.0, 720.0, wt / 2, ht / 2]], jnp.float32),
-                        (num_mixup, 1)))
+                    prewarp_dev)
                 rgb_w = np.asarray(rgb_w)
                 sem_w = np.asarray(sem_w)
                 inst_w = np.asarray(inst_w)

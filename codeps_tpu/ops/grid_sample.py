@@ -139,6 +139,102 @@ def _pack_taps(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([img, right, down, down_right], axis=-1)
 
 
+def prewarp_host(x, y, height: int, width: int):
+    """Host-side (numpy, float64) tap/weight precomputation for
+    ``grid_sample_pair_pre``.
+
+    Why this exists: when the coordinate chain lives INSIDE a jitted
+    program, XLA duplicates it into the gather-index operand and may
+    contract the two copies differently (measured on CPU: the index copy
+    picked tap x=17 while the weight copy said x=16 with wx=0 at an
+    exactly-integer warp coordinate — a 0.079 RGB error). The reference
+    sidesteps the whole class by warping in float64
+    (/root/reference/datasets/mixup.py:224-226, ``F.grid_sample(
+    in_src.double(), pixel_coords.double(), align_corners=True)``).
+    Precomputing the INTEGER tap anchors and float32 weights on the host
+    in float64 makes device tap selection immune to fusion: integers
+    cannot be re-derived or re-rounded by the compiler.
+
+    Args:
+      x, y: float64 numpy arrays (B, Ho, Wo) of UNNORMALIZED pixel
+        coordinates into the sampled (height, width) image
+        (align_corners=True convention: pixel centers at integers).
+    Returns:
+      dict of numpy arrays (a jit-ready pytree): int32 padded anchors
+      ``ii``/``jj``; float32 weights ``wx``/``wy``; bool per-tap
+      inside masks ``in_x0``/``in_x1``/``in_y0``/``in_y1`` (zeros
+      padding); bool nearest-tap selectors ``sel_x0``/``sel_y0``; bool
+      ``nn_inside`` (unclipped round-half-even index within bounds, the
+      nearest+zeros validity mask).
+    """
+    import numpy as np
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    x0 = np.floor(x)
+    y0 = np.floor(y)
+    # round-half-to-even (np.rint), matching torch nearest's nearbyint
+    rx = np.rint(x)
+    ry = np.rint(y)
+    ii = (np.clip(x0, -1, width - 1) + 1).astype(np.int32)
+    jj = (np.clip(y0, -1, height - 1) + 1).astype(np.int32)
+    rxc = np.clip(rx, 0, width - 1)
+    ryc = np.clip(ry, 0, height - 1)
+    return {
+        "ii": ii,
+        "jj": jj,
+        "wx": (x - x0).astype(np.float32),
+        "wy": (y - y0).astype(np.float32),
+        "in_x0": (x0 >= 0) & (x0 <= width - 1),
+        "in_x1": (x0 + 1 >= 0) & (x0 + 1 <= width - 1),
+        "in_y0": (y0 >= 0) & (y0 <= height - 1),
+        "in_y1": (y0 + 1 >= 0) & (y0 + 1 <= height - 1),
+        "sel_x0": np.maximum(ii - 1, 0) == rxc,
+        "sel_y0": np.maximum(jj - 1, 0) == ryc,
+        "nn_inside": ((rx >= 0) & (rx <= width - 1)
+                      & (ry >= 0) & (ry <= height - 1)),
+    }
+
+
+def grid_sample_pair_pre(img_lin: jnp.ndarray, img_nn: jnp.ndarray,
+                         pre) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``grid_sample_pair`` from a host-precomputed ``prewarp_host`` dict.
+
+    Same packed single-gather layout and identical per-tap multiply
+    order as ``grid_sample_pair``; tap anchors/weights/masks arrive as
+    program INPUTS so XLA fusion cannot desynchronize the index and
+    weight chains (see ``prewarp_host``). Returns (bilinear/zeros lin,
+    nearest/border nn) like ``grid_sample_pair``.
+    """
+    c_lin = img_lin.shape[-1]
+    wx = pre["wx"][..., None]
+    wy = pre["wy"][..., None]
+    dtype = jnp.result_type(img_lin.dtype, img_nn.dtype)
+    payload = jnp.concatenate([img_lin.astype(dtype),
+                               img_nn.astype(dtype)], axis=-1)
+    padded = jnp.concatenate([payload[:, :1], payload], axis=1)
+    padded = jnp.concatenate([padded[:, :, :1], padded], axis=2)
+    taps = _gather_2d(_pack_taps(padded), pre["jj"], pre["ii"])
+    c = payload.shape[-1]
+    t00, t01, t10, t11 = (taps[..., :c], taps[..., c:2 * c],
+                          taps[..., 2 * c:3 * c], taps[..., 3 * c:])
+
+    vals = 0.0
+    for gi, in_y, in_x, wgt_y, wgt_x in (
+            (t00[..., :c_lin], "in_y0", "in_x0", 1.0 - wy, 1.0 - wx),
+            (t01[..., :c_lin], "in_y0", "in_x1", 1.0 - wy, wx),
+            (t10[..., :c_lin], "in_y1", "in_x0", wy, 1.0 - wx),
+            (t11[..., :c_lin], "in_y1", "in_x1", wy, wx)):
+        inside = pre[in_y] & pre[in_x]
+        vals = vals + gi * wgt_x * wgt_y \
+            * inside[..., None].astype(gi.dtype)
+
+    sel_x0 = pre["sel_x0"][..., None]
+    top_nn = jnp.where(sel_x0, t00[..., c_lin:], t01[..., c_lin:])
+    bot_nn = jnp.where(sel_x0, t10[..., c_lin:], t11[..., c_lin:])
+    nn_out = jnp.where(pre["sel_y0"][..., None], top_nn, bot_nn)
+    return vals, nn_out
+
+
 def grid_sample_pair(img_lin: jnp.ndarray, img_nn: jnp.ndarray,
                      grid: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """ONE gather for two same-grid samplings: bilinear/zeros + nearest/border.

@@ -50,6 +50,18 @@ _H_AXIS_BY_KEY = {
     "offset_weights": 1,
     "center_ema": 1,
     "offset_ema": 1,
+    # (N, H, W) c2c prewarp tap/weight planes (mixup_prep.c2c_prewarp)
+    "ii": 1,
+    "jj": 1,
+    "wx": 1,
+    "wy": 1,
+    "in_x0": 1,
+    "in_x1": 1,
+    "in_y0": 1,
+    "in_y1": 1,
+    "sel_x0": 1,
+    "sel_y0": 1,
+    "nn_inside": 1,
 }
 
 

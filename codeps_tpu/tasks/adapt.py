@@ -283,7 +283,8 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
       mixup (when num_mixup > 0): either composed samples
               {rgb (Nm, Hs, Ws, 3), semantic (Nm, Hs, Ws)}
               or, with fused_mixup, the raw materials
-              {rgb_src, semantic_src, rgb_tgt, intr_src, intr_tgt,
+              {rgb_src, semantic_src, rgb_tgt,
+               prewarp (mixup_prep.c2c_prewarp pytree),
                cut_cells (Nm, nof_segments) int32} — the
               teacher pseudo-labeling, panoptic fusion, camera warp, and
               cut composition then run INSIDE this jit (parity with the
@@ -371,7 +372,6 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         already ran batched with the metrics eval (see adapt_step).
         """
         from codeps_tpu.ops.panoptic import get_panoptic_segmentation
-        from codeps_tpu.tasks.mixup_prep import c2c_grid
 
         ema_params, ema_stats = teacher
         rgb_tgt = mixup["rgb_tgt"]          # (Nm, Ht, Wt, 3)
@@ -391,16 +391,19 @@ def make_adapt_step(modules: CodepsModules, cfg, tx, class_weights,
         # never consumed — see instance_seg.py:177-182.)
 
         if geom_augment:
-            src_size = rgb_src.shape[1:3]
-            grid = c2c_grid(mixup["intr_tgt"], mixup["intr_src"],
-                            rgb_tgt.shape[1:3], src_size)
-            # ONE packed gather for the shared-grid bilinear RGB +
+            # ONE packed gather for the shared-warp bilinear RGB +
             # nearest semantic samples (bit-identical to two
             # grid_sample calls; TPU gathers cost per ROW, so the
-            # fusion halves the c2c warp's gather time)
-            from codeps_tpu.ops.grid_sample import grid_sample_pair
-            rgb_tgt_w, sem_w_f = grid_sample_pair(
-                rgb_tgt, sem_pred.astype(jnp.float32)[..., None], grid)
+            # fusion halves the c2c warp's gather time). Tap anchors
+            # and weights arrive host-precomputed in float64
+            # (mixup_prep.c2c_prewarp, cached per camera pair): XLA
+            # fusion cannot desynchronize the index and weight chains
+            # at the c2c warp's exactly-integer coordinates, and the
+            # reference's float64 warp (mixup.py:224-226) is matched.
+            from codeps_tpu.ops.grid_sample import grid_sample_pair_pre
+            rgb_tgt_w, sem_w_f = grid_sample_pair_pre(
+                rgb_tgt, sem_pred.astype(jnp.float32)[..., None],
+                mixup["prewarp"])
             sem_w = sem_w_f[..., 0].astype(jnp.int32)
         else:
             rgb_tgt_w, sem_w = rgb_tgt, sem_pred

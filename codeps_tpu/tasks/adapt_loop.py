@@ -96,6 +96,8 @@ class AdaptationRunner:
             modules, self.thing_list, source_size,
             geom_augment=cfg.adapt.mixup.general.geom_augment,
             mean=self._norm_mean, std=self._norm_std)
+        self._mixup_src_size = source_size
+        self._prewarp_cache: Dict[Any, Any] = {}
         self.gt_panoptic = make_gt_panoptic_step(modules, self.thing_list)
 
         self.mixup_active = cfg.adapt.mixup.general.active
@@ -325,13 +327,15 @@ class AdaptationRunner:
                         np.int32)),
                 "rgb_tgt": jnp.asarray(_stack_images(
                     [m["rgb_tgt"][0] for m in items])),
-                "intr_src": jnp.asarray(np.stack(
-                    [np.asarray(m["camera_model_src"], np.float32)
-                     for m in items])),
-                "intr_tgt": jnp.asarray(np.stack(
-                    [np.asarray(m["camera_model_tgt"], np.float32)
-                     for m in items])),
             }
+            if self.cfg.adapt.mixup.general.geom_augment:
+                rgb_tgt0 = np.asarray(items[0]["rgb_tgt"][0])
+                batch["mixup"]["prewarp"] = self._c2c_prewarp_cached(
+                    np.stack([np.asarray(m["camera_model_tgt"],
+                                         np.float32) for m in items]),
+                    np.stack([np.asarray(m["camera_model_src"],
+                                         np.float32) for m in items]),
+                    rgb_tgt0.shape[:2])
             if cut_cells:
                 batch["mixup"]["cut_cells"] = jnp.asarray(
                     np.stack(cut_cells).astype(np.int32))
@@ -382,6 +386,24 @@ class AdaptationRunner:
         std = np.asarray(self._norm_std, np.float32)
         return (img.astype(np.float32) / 255.0 - mean) / std
 
+    def _c2c_prewarp_cached(self, intr_sampled, intr_out, sampled_size):
+        """Device-resident c2c tap/weight pytree (tasks/mixup_prep.
+        c2c_prewarp), cached by intrinsics: adaptation streams reuse a
+        fixed camera pair, so the host float64 warp precomputation and
+        its H2D upload happen once, not per frame."""
+        key = (intr_sampled.tobytes(), intr_out.tobytes(),
+               tuple(sampled_size))
+        pre = self._prewarp_cache.get(key)
+        if pre is None:
+            from codeps_tpu.tasks.mixup_prep import c2c_prewarp
+            pre = jax.tree.map(jnp.asarray, c2c_prewarp(
+                intr_sampled, intr_out, tuple(sampled_size),
+                self._mixup_src_size))
+            if len(self._prewarp_cache) >= 8:
+                self._prewarp_cache.clear()
+            self._prewarp_cache[key] = pre
+        return pre
+
     def _compose_mixups(self, sample) -> List[Dict[str, Any]]:
         """Mixup samples: one fused device program (pseudo-labels +
         panoptic fusion + geometric warp for the whole stack), then cheap
@@ -409,8 +431,9 @@ class AdaptationRunner:
                                         np.float32) for _, item in items])
         rgb_w, sem_w, inst_w = self.plabel_prep(
             self.state.ema_params, self.state.ema_batch_stats,
-            jnp.asarray(rgb_tgt), jnp.asarray(intr_src),
-            jnp.asarray(intr_tgt))
+            jnp.asarray(rgb_tgt),
+            self._c2c_prewarp_cached(intr_tgt, intr_src,
+                                     rgb_tgt.shape[1:3]))
         rgb_w = np.asarray(rgb_w)
         sem_w = np.asarray(sem_w)
         inst_w = np.asarray(inst_w)

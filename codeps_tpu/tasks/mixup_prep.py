@@ -55,17 +55,55 @@ def c2c_grid(intr_src: jnp.ndarray, intr_tgt: jnp.ndarray,
     return jnp.stack([grid_u, grid_v], axis=-1)
 
 
+def c2c_prewarp(intr_sampled, intr_out, sampled_size: tuple[int, int],
+                out_size: tuple[int, int]):
+    """Host float64 camera-to-camera warp precomputation.
+
+    Mirrors the reference's unit-depth reprojection (mixup.py:28-66 via
+    camera_model.py:43-50) computed in float64 — the reference runs its
+    whole warp in double (mixup.py:224-226) — and returns the
+    ``prewarp_host`` tap/weight pytree for ``grid_sample_pair_pre``.
+    Integer tap anchors are decided on the host so XLA fusion cannot
+    desynchronize the index and weight chains at exactly-integer warp
+    coordinates (see ops/grid_sample.prewarp_host).
+
+    Args:
+      intr_sampled: (B, 4) fx/fy/cx/cy of the SAMPLED image.
+      intr_out: (B, 4) intrinsics of the output pixel lattice.
+    """
+    import numpy as np
+    intr_sampled = np.asarray(intr_sampled, np.float64)
+    intr_out = np.asarray(intr_out, np.float64)
+    out_h, out_w = out_size
+    src_h, src_w = sampled_size
+    u = np.arange(out_w, dtype=np.float64)[None, None, :]
+    v = np.arange(out_h, dtype=np.float64)[None, :, None]
+    fx_o, fy_o = intr_out[:, 0, None, None], intr_out[:, 1, None, None]
+    cx_o, cy_o = intr_out[:, 2, None, None], intr_out[:, 3, None, None]
+    fx_s, fy_s = (intr_sampled[:, 0, None, None],
+                  intr_sampled[:, 1, None, None])
+    cx_s, cy_s = (intr_sampled[:, 2, None, None],
+                  intr_sampled[:, 3, None, None])
+    x = np.broadcast_to((u - cx_o) / fx_o * fx_s + cx_s,
+                        (intr_out.shape[0], out_h, out_w))
+    y = np.broadcast_to((v - cy_o) / fy_o * fy_s + cy_s,
+                        (intr_out.shape[0], out_h, out_w))
+    from codeps_tpu.ops.grid_sample import prewarp_host
+    return prewarp_host(x, y, src_h, src_w)
+
+
 def make_plabel_prep_step(modules: CodepsModules, thing_list,
                           src_size: tuple[int, int],
                           geom_augment: bool = True,
                           mean=None, std=None):
     """Build the fused pseudo-label + fusion + warp program.
 
-    fn(params, batch_stats, rgb_tgt (Nm, Ht, Wt, 3), intr_src (Nm, 4),
-       intr_tgt (Nm, 4)) ->
+    fn(params, batch_stats, rgb_tgt (Nm, Ht, Wt, 3), warp) ->
       (rgb_warped (Nm, Hs, Ws, 3), semantic_warped (Nm, Hs, Ws) int32,
        instance_warped (Nm, Hs, Ws) int32) — in the source frame when
-      geom_augment, else at target resolution. The returned rgb is in
+      geom_augment (``warp`` is the host-computed ``c2c_prewarp`` pytree
+      mapping source pixels to target coordinates), else at target
+      resolution (no ``warp`` argument). The returned rgb is in
       NORMALIZED float space; ``mean``/``std`` thread the cfg's
       normalization constants for raw uint8 inputs.
     """
@@ -77,7 +115,7 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
     if std is not None:
         norm_kwargs["std"] = tuple(std)
 
-    def prep(params, batch_stats, rgb_tgt, intr_src, intr_tgt):
+    def prep(params, batch_stats, rgb_tgt, warp=None):
         from codeps_tpu.ops.normalize import maybe_normalize
         rgb_tgt = maybe_normalize(rgb_tgt, **norm_kwargs)
         feats, _ = apply_encoder(
@@ -102,28 +140,20 @@ def make_plabel_prep_step(modules: CodepsModules, thing_list,
         if not geom_augment:
             return rgb_tgt, sem_pred, instance
 
-        tgt_size = rgb_tgt.shape[1:3]
-        grid = c2c_grid(intr_tgt, intr_src, tgt_size, src_size)
-        # ONE packed gather for everything sharing the grid: the
+        # ONE packed gather for everything sharing the warp: the
         # bilinear/zeros RGB and the nearest/border label pair (TPU
         # gathers serialize per ROW, ~width-independent — see
-        # grid_sample_pair). instance needs nearest+ZEROS semantics;
-        # recover it by masking the border-sampled channel with the
-        # insideness of the UNCLIPPED rounded index (identical to
-        # grid_sample's nearest+zeros arithmetic).
-        from codeps_tpu.ops.grid_sample import _unnormalize, grid_sample_pair
-        th, tw = tgt_size
-        ux = _unnormalize(grid[..., 0], tw)
-        uy = _unnormalize(grid[..., 1], th)
-        # round-half-to-even, in lockstep with grid_sample's nearest
-        # tie-break (torch nearbyint semantics)
-        rx = jnp.round(ux)
-        ry = jnp.round(uy)
-        inside = ((rx >= 0) & (rx <= tw - 1) & (ry >= 0) & (ry <= th - 1))
+        # grid_sample_pair). Tap anchors/weights arrive precomputed from
+        # the host in float64 (c2c_prewarp) so fusion cannot flip taps
+        # at exactly-integer warp coordinates. instance needs
+        # nearest+ZEROS semantics; recover it by masking the
+        # border-sampled channel with the host-computed insideness of
+        # the UNCLIPPED rounded index.
+        from codeps_tpu.ops.grid_sample import grid_sample_pair_pre
         pair = jnp.stack([instance.astype(jnp.float32),
                           sem_pred.astype(jnp.float32)], axis=-1)
-        rgb_w, pair_w = grid_sample_pair(rgb_tgt, pair, grid)
-        inst_w = (pair_w[..., 0] * inside).astype(jnp.int32)
+        rgb_w, pair_w = grid_sample_pair_pre(rgb_tgt, pair, warp)
+        inst_w = (pair_w[..., 0] * warp["nn_inside"]).astype(jnp.int32)
         sem_w = pair_w[..., 1].astype(jnp.int32)
         return rgb_w, sem_w, inst_w
 

@@ -207,7 +207,8 @@ def zero_torch_randn(torch):
 
 # ---------------------------------------------------------------- configs
 
-def make_cfg(freeze_pose: bool, num_mixup: int, nsteps: int):
+def make_cfg(freeze_pose: bool, num_mixup: int, nsteps: int,
+             strategies=None):
     from codeps_tpu.config import gen_config
 
     cfg = gen_config(adapt=True, freeze=False)
@@ -228,9 +229,11 @@ def make_cfg(freeze_pose: bool, num_mixup: int, nsteps: int):
     cfg.adapt.ema.semantic = True
     cfg.adapt.ema.instance = False
     cfg.adapt.ema.alpha = 0.99
+    if strategies is None:
+        strategies = ["cut_mixup"] * num_mixup
     cfg.adapt.mixup.general.active = num_mixup > 0
     cfg.adapt.mixup.general.nof_samples = num_mixup
-    cfg.adapt.mixup.general.mixup_strategies = ["cut_mixup"] * num_mixup
+    cfg.adapt.mixup.general.mixup_strategies = list(strategies)
     cfg.adapt.mixup.general.geom_augment = True
     cfg.adapt.mixup.cut_mix.nof_hor_splits = 4
     cfg.adapt.mixup.cut_mix.nof_vert_splits = 2
@@ -271,11 +274,14 @@ def smooth_image(rng, height, width, channels=3):
     return img.astype(np.float32)
 
 
-def make_stream(seed, num_frames):
+def make_stream(seed, num_frames, num_mix=NM):
     """Pre-generate every array both stacks consume.
 
     Frames axis order [t, t-1, t+1]; offsets channel order (dy, dx);
     cameras are (fx, fy, cx, cy) rows (misc/camera_model.py:26-29).
+    ``num_mix`` mixup samples are generated; targets are assigned
+    [online, replay0, replay1, ...] (replay_buffer.py:248-256
+    prioritizes the online image first).
     """
     rng = np.random.default_rng(seed)
     cam_t = np.asarray([48.0, 48.0, WT / 2, HT / 2], np.float32)
@@ -310,22 +316,33 @@ def make_stream(seed, num_frames):
                 [triplet(HT, WT) for _ in range(NR)]),
             "replay_camera": np.tile(cam_t[None], (NR, 1)),
             "mix_rgb_src": np.stack(
-                [smooth_image(rng, HS, WS) for _ in range(NM)]),
+                [smooth_image(rng, HS, WS) for _ in range(num_mix)]),
             "mix_semantic_src": rng.integers(
-                0, NC, (NM, HS, WS)).astype(np.int32),
+                0, NC, (num_mix, HS, WS)).astype(np.int32),
             "mix_instance_src": rng.integers(
-                0, 5, (NM, HS, WS)).astype(np.int32),
-            "mix_camera_src": np.tile(cam_s[None], (NM, 1)),
+                0, 5, (num_mix, HS, WS)).astype(np.int32),
+            "mix_camera_src": np.tile(cam_s[None], (num_mix, 1)),
             "cut_cells": np.stack([
-                rng.choice(8, 2, replace=False) for _ in range(NM)
+                rng.choice(8, 2, replace=False) for _ in range(num_mix)
             ]).astype(np.int32),
         }
-        # mixup targets: online frame t + one replay frame
+        # mixup targets: online frame t first, then replay frames
         # (replay_buffer.py:248-256 prioritizes the online image first)
+        tgt_pool = [frame["target_frames"][0, 0]] + [
+            frame["replay_frames"][i, 0] for i in range(NR)]
         frame["mix_rgb_tgt"] = np.stack(
-            [frame["target_frames"][0, 0], frame["replay_frames"][0, 0]])
-        frame["mix_camera_tgt"] = np.stack(
-            [cam_t, cam_t])
+            [tgt_pool[i % len(tgt_pool)] for i in range(num_mix)])
+        frame["mix_camera_tgt"] = np.stack([cam_t] * num_mix)
+        # class_mixup replace-set pick: indices into the SORTED unique
+        # classes of that sample's source labels (_get_rnd_cls,
+        # mixup.py:68-74) — pre-drawn here, replayed through BOTH stacks.
+        frame["class_picks"] = []
+        for i in range(num_mix):
+            uniq = np.unique(frame["mix_semantic_src"][i])
+            num = uniq.shape[0]
+            frame["class_picks"].append(
+                rng.choice(num, (num + num % 2) // 2,
+                           replace=False).astype(np.int64))
         frames.append(frame)
     return frames
 
@@ -407,8 +424,13 @@ def build_torch_model(torch, cfg, seed):
     return model, (things, stuffs)
 
 
-def torch_in_data(torch, frame, with_mixup):
-    """The collated reference adapt sample (train_utils.py:81-114)."""
+def torch_in_data(torch, frame, with_mixup, strategies=None):
+    """The collated reference adapt sample (train_utils.py:81-114).
+
+    ``strategies`` switches to the multi-strategy layout: one in_data
+    key PER strategy name (replay_buffer.py:260-263 groups samples
+    under their strategy key), each holding that strategy's batch —
+    here one sample per strategy, mixup sample i -> strategies[i]."""
 
     def chw(x):
         return torch.tensor(np.ascontiguousarray(
@@ -442,7 +464,7 @@ def torch_in_data(torch, frame, with_mixup):
             "camera_model": torch.tensor(frame["replay_camera"]),
         },
     }
-    if with_mixup:
+    if with_mixup and strategies is None:
         in_data["cut_mixup"] = {
             "rgb_src": {0: chw(frame["mix_rgb_src"])},
             "rgb_tgt": {0: chw(frame["mix_rgb_tgt"])},
@@ -454,15 +476,86 @@ def torch_in_data(torch, frame, with_mixup):
             "camera_model_tgt": torch.tensor(frame["mix_camera_tgt"]),
             "tgt_is_replay": torch.tensor([0, 1]),
         }
+    elif with_mixup:
+        for i, strategy in enumerate(strategies):
+            sl = slice(i, i + 1)
+            in_data[strategy] = {
+                "rgb_src": {0: chw(frame["mix_rgb_src"][sl])},
+                "rgb_tgt": {0: chw(frame["mix_rgb_tgt"][sl])},
+                "semantic_src": torch.tensor(
+                    frame["mix_semantic_src"][sl].astype(
+                        np.uint8)).unsqueeze(1),
+                "instance_src": torch.tensor(
+                    frame["mix_instance_src"][sl]).unsqueeze(1),
+                "camera_model_src": torch.tensor(
+                    frame["mix_camera_src"][sl]),
+                "camera_model_tgt": torch.tensor(
+                    frame["mix_camera_tgt"][sl]),
+                "tgt_is_replay": torch.tensor([0 if i == 0 else 1]),
+            }
     return in_data
 
 
-def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed):
+def structure_instance_head(torch, model, rgb_frames, seed, steps=80):
+    """Overfit the instance head to synthetic multi-blob center/offset GT
+    on the given frames (N, H, W, 3).
+
+    Why: with purely random weights the center heatmap is f32-scale
+    noise, and the 7x7 NMS of panoptic fusion
+    (post_processing_panoptic.py:31-70) then picks peaks by comparisons
+    whose margins sit BELOW the torch-vs-XLA conv-stack noise (measured:
+    1.5e-8 margin vs ~6e-8 output diff) — one flipped peak renumbers
+    every later instance id. Structured center maps give the fusion
+    real peaks with healthy margins, so the variant-D composed-instance
+    check exercises the ALGORITHM, not float tie-breaking. Encoder
+    features stay fixed (eval, no grad); only instance_head trains."""
+    import torch.nn.functional as F
+    gen = np.random.default_rng(seed + 77)
+    n, height, width = rgb_frames.shape[:3]
+    centers_gt = np.zeros((n, 1, height, width), np.float32)
+    offsets_gt = np.zeros((n, 2, height, width), np.float32)
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    for i in range(n):
+        pts = np.stack([gen.uniform(6, height - 6, 5),
+                        gen.uniform(6, width - 6, 5)], -1)
+        d2 = ((yy[None] - pts[:, 0, None, None]) ** 2
+              + (xx[None] - pts[:, 1, None, None]) ** 2)
+        centers_gt[i, 0] = np.exp(-d2 / (2 * 4.0 ** 2)).sum(0).clip(0, 1)
+        nearest = d2.argmin(0)
+        offsets_gt[i, 0] = pts[nearest, 0] - yy
+        offsets_gt[i, 1] = pts[nearest, 1] - xx
+    images = torch.tensor(np.ascontiguousarray(
+        np.moveaxis(rgb_frames, -1, 1)))
+    center_t = torch.tensor(centers_gt)
+    offset_t = torch.tensor(offsets_gt)
+    model.backbone_po_depth.eval()
+    with torch.no_grad():
+        feats = [f.detach() for f in model.backbone_po_depth(images)]
+    model.instance_head.train()
+    opt = torch.optim.Adam(model.instance_head.parameters(), lr=1e-3)
+    for _ in range(steps):
+        opt.zero_grad()
+        center, offset, _ = model.instance_head(feats)
+        loss = (200.0 * F.mse_loss(center, center_t)
+                + 0.05 * F.l1_loss(offset, offset_t))
+        loss.backward()
+        opt.step()
+    model.instance_head.eval()
+
+
+def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed,
+              strategies=None):
     """Faithful replica of the reference per-frame adaptation loop
     (scripts/adapt_codeps.py:155-307) on the fixed stream."""
     from codeps.online_adap import CodepsNet
 
     model, _ = build_torch_model(torch, cfg, seed)
+    if strategies is not None:
+        # Variant D: structured center maps for fusion-stable
+        # composed-instance comparison (see structure_instance_head).
+        structure_instance_head(
+            torch, model,
+            np.concatenate([f["mix_rgb_tgt"] for f in frames]), seed)
     for name, param in model.named_parameters():
         if any(name.startswith(m) for m in frozen):
             param.requires_grad = False
@@ -491,7 +584,7 @@ def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed):
 
     records = []
     for frame in frames:
-        in_data = torch_in_data(torch, frame, with_mixup)
+        in_data = torch_in_data(torch, frame, with_mixup, strategies)
         rec = {"losses": [], "eval": {}}
 
         # teacher eval + mixup pseudo-labels (adapt_codeps.py:166-199)
@@ -524,12 +617,38 @@ def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed):
             getattr(model, m).eval()
         for _ in range(nsteps):
             optimizer.zero_grad()
-            cells = [row for row in frame["cut_cells"]] if with_mixup \
-                else []
+            # np.random.choice replay queue, in the forward's in_data
+            # iteration order: cut_mixup draws its cell row
+            # (mixup.py:106), class_mixup its replace-set indices
+            # (mixup.py:72); conf_instance_mixup draws nothing.
+            if not with_mixup:
+                cells = []
+            elif strategies is None:
+                cells = [row for row in frame["cut_cells"]]
+            else:
+                cells = []
+                for i, strategy in enumerate(strategies):
+                    if strategy == "cut_mixup":
+                        cells.append(frame["cut_cells"][i])
+                    elif strategy == "class_mixup":
+                        cells.append(frame["class_picks"][i])
             with pinned_cut_cells(cells), zero_torch_randn(torch):
                 losses, results, _, in_data = model(
                     in_data, "adapt", RGB_FRAME_OFFSETS,
                     do_panoptic_fusion=False)
+            if strategies is not None:
+                # Composed mixup batches (do_mixup replaced in_data[key])
+                # for the composition-level parity table.
+                rec.setdefault("composed", {})
+                for key in strategies:
+                    rec["composed"][key] = {
+                        "rgb": np.moveaxis(np.asarray(
+                            in_data[key]["rgb"][0].detach()), 1, -1),
+                        "semantic": np.asarray(
+                            in_data[key]["semantic"].detach()),
+                        "instance": np.asarray(
+                            in_data[key]["instance"].detach()),
+                    }
             for name in losses.keys():
                 if loss_weights.get(name) is None:
                     losses[name] = None
@@ -565,7 +684,8 @@ def run_torch(torch, cfg, frozen, frames, nsteps, with_mixup, seed):
 
 # --------------------------------------------------------------- jax stack
 
-def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path):
+def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path,
+            strategies=None):
     import jax.numpy as jnp
 
     import codeps_tpu.tasks.adapt as adapt_mod
@@ -599,22 +719,92 @@ def run_jax(cfg, frozen, frames, nsteps, with_mixup, ckpt_path):
     orig_recon = adapt_mod.reconstruction_loss
     adapt_mod.reconstruction_loss = functools.partial(
         reconstruction_loss, identity_noise_scale=0.0)
+    composer = None
+    if strategies is not None:
+        # Host-composed mixup (the production non-fused path,
+        # AdaptationRunner._compose_mixups): the fused teacher
+        # pseudo-label + panoptic-fusion + c2c-warp device program, then
+        # per-strategy numpy composition with the pinned RNG draws.
+        from codeps_tpu.data.mixup import Mixup
+        from codeps_tpu.tasks.mixup_prep import (c2c_prewarp,
+                                                 make_plabel_prep_step)
+        plabel_prep = make_plabel_prep_step(modules, things, (HS, WS),
+                                            geom_augment=True)
+        cfg_mix = cfg.adapt.mixup
+
+        def composer(st, frame):
+            warp = jax.tree.map(jnp.asarray, c2c_prewarp(
+                frame["mix_camera_tgt"], frame["mix_camera_src"],
+                (HT, WT), (HS, WS)))
+            rgb_w, sem_w, inst_w = plabel_prep(
+                st.ema_params, st.ema_batch_stats,
+                jnp.asarray(frame["mix_rgb_tgt"]), warp)
+            rgb_w, sem_w, inst_w = (np.asarray(rgb_w), np.asarray(sem_w),
+                                    np.asarray(inst_w))
+            composed = {}
+            for i, strategy in enumerate(strategies):
+                rng = _ReplayRNG([frame["cut_cells"][i]
+                                  if strategy == "cut_mixup"
+                                  else frame["class_picks"][i]])
+                img_src = frame["mix_rgb_src"][i]
+                sem_src = frame["mix_semantic_src"][i]
+                inst_src = frame["mix_instance_src"][i]
+                if strategy == "cut_mixup":
+                    out = Mixup.cut_mixup(
+                        rng, img_src, rgb_w[i], inst_src, sem_src,
+                        sem_w[i], inst_w[i],
+                        cfg_mix.cut_mix.nof_vert_splits,
+                        cfg_mix.cut_mix.nof_hor_splits,
+                        cfg_mix.cut_mix.nof_segments)
+                elif strategy == "class_mixup":
+                    out = Mixup.class_mixup(rng, img_src, rgb_w[i],
+                                            inst_src, sem_src,
+                                            sem_w[i], inst_w[i])
+                else:
+                    out = Mixup.conf_instance_mixup(
+                        img_src, rgb_w[i], inst_src, sem_src,
+                        sem_w[i], inst_w[i],
+                        cfg_mix.conf_instance_mix.min_inst_size,
+                        thing_list=things, num_classes=NC,
+                        conf_thresh=cfg_mix.conf_instance_mix.conf_thresh)
+                composed[strategy] = {"rgb": out[0], "semantic": out[1],
+                                      "instance": out[2]}
+            return composed
+
     try:
         step = make_adapt_step(
             modules, cfg, tx,
             class_weights=list(cfg.semantics.class_weights),
             ema_modules=("semantic_head",), frozen_modules=frozen,
-            has_replay=True, num_mixup=NM if with_mixup else 0,
-            fused_mixup=with_mixup, sem_ignore_classes=None,
+            has_replay=True,
+            num_mixup=(len(strategies) if strategies is not None
+                       else NM) if with_mixup else 0,
+            mixup_groups=(tuple((s, 1) for s in strategies)
+                          if strategies is not None else None),
+            fused_mixup=with_mixup and strategies is None,
+            sem_ignore_classes=None,
             donate=False, eval_forward=eval_forward)
         state, records = _run_jax_frames(step, state, frames, nsteps,
-                                         with_mixup)
+                                         with_mixup, composer, strategies)
     finally:
         adapt_mod.reconstruction_loss = orig_recon
     return state, records
 
 
-def _run_jax_frames(step, state, frames, nsteps, with_mixup):
+class _ReplayRNG:
+    """np.random.Generator stand-in replaying pre-drawn arrays through
+    .choice — the jax-side twin of pinned_cut_cells."""
+
+    def __init__(self, queue):
+        self.queue = list(queue)
+
+    def choice(self, a, size=None, replace=True, p=None):
+        assert self.queue, "more rng.choice calls than pinned draws"
+        return np.asarray(self.queue.pop(0))
+
+
+def _run_jax_frames(step, state, frames, nsteps, with_mixup,
+                    composer=None, strategies=None):
     import jax.numpy as jnp
     records = []
     for frame in frames:
@@ -640,16 +830,29 @@ def _run_jax_frames(step, state, frames, nsteps, with_mixup):
                 "depth_gt": jnp.asarray(frame["target_depth"]),
             },
         }
-        if with_mixup:
+        rec = {"losses": [], "eval": {}}
+        if with_mixup and composer is not None:
+            composed = composer(state, frame)
+            rec["composed"] = composed
+            batch["mixup"] = {
+                "rgb": jnp.asarray(np.stack(
+                    [composed[s]["rgb"] for s in strategies])),
+                "semantic": jnp.asarray(np.stack(
+                    [composed[s]["semantic"] for s in strategies]).astype(
+                        np.int32)),
+            }
+        elif with_mixup:
+            from codeps_tpu.tasks.mixup_prep import c2c_prewarp
             batch["mixup"] = {
                 "rgb_src": jnp.asarray(frame["mix_rgb_src"]),
                 "semantic_src": jnp.asarray(frame["mix_semantic_src"]),
                 "rgb_tgt": jnp.asarray(frame["mix_rgb_tgt"]),
-                "intr_src": jnp.asarray(frame["mix_camera_src"]),
-                "intr_tgt": jnp.asarray(frame["mix_camera_tgt"]),
+                "prewarp": jax.tree.map(jnp.asarray, c2c_prewarp(
+                    frame["mix_camera_tgt"], frame["mix_camera_src"],
+                    frame["mix_rgb_tgt"].shape[1:3],
+                    frame["mix_rgb_src"].shape[1:3])),
                 "cut_cells": jnp.asarray(frame["cut_cells"]),
             }
-        rec = {"losses": [], "eval": {}}
         for step_i in range(nsteps):
             batch["do_ema"] = np.asarray(step_i == nsteps - 1)
             state, metrics, feats, eval_results, eval_stats = \
@@ -713,13 +916,17 @@ def compare_params(cfg, torch_state_dicts, jax_params, jax_stats):
 
 
 def run_variant(torch, tag, freeze_pose, num_frames, nsteps, with_mixup,
-                seed=11):
-    cfg, frozen = make_cfg(freeze_pose, NM if with_mixup else 0, nsteps)
-    frames = make_stream(seed, num_frames)
+                seed=11, strategies=None):
+    num_mix = len(strategies) if strategies is not None else NM
+    cfg, frozen = make_cfg(freeze_pose, num_mix if with_mixup else 0,
+                           nsteps, strategies=strategies)
+    frames = make_stream(seed, num_frames, num_mix=num_mix)
     ckpt_path, torch_recs, torch_final = run_torch(
-        torch, cfg, frozen, frames, nsteps, with_mixup, seed)
+        torch, cfg, frozen, frames, nsteps, with_mixup, seed,
+        strategies=strategies)
     jax_state, jax_recs = run_jax(cfg, frozen, frames, nsteps,
-                                  with_mixup, ckpt_path)
+                                  with_mixup, ckpt_path,
+                                  strategies=strategies)
 
     weights = {k: v for k, v in cfg.losses.weights.items()}
     rows = []
@@ -746,6 +953,26 @@ def run_variant(torch, tag, freeze_pose, num_frames, nsteps, with_mixup,
             max_rel = max(max_rel, rel)
             rows.append((f, s, "weighted_total", t_tot, j_tot, rel))
 
+    composed_diffs = None
+    if strategies is not None:
+        # Composition-level parity: the torch stack's do_mixup output
+        # (mixup.py:405-489, incl. kornia-oracle conf paste offsets)
+        # vs our host-composed batches (plabel_prep + data/mixup.py).
+        composed_diffs = {s: {"rgb_max": 0.0, "sem_frac": 0.0,
+                              "inst_frac": 0.0} for s in strategies}
+        for tr, jr in zip(torch_recs, jax_recs):
+            for s in strategies:
+                tc, jc = tr["composed"][s], jr["composed"][s]
+                d = composed_diffs[s]
+                d["rgb_max"] = max(d["rgb_max"], float(np.max(np.abs(
+                    tc["rgb"][0] - jc["rgb"]))))
+                d["sem_frac"] = max(d["sem_frac"], float(np.mean(
+                    tc["semantic"][0].astype(np.int64)
+                    != jc["semantic"].astype(np.int64))))
+                d["inst_frac"] = max(d["inst_frac"], float(np.mean(
+                    tc["instance"][0].astype(np.int64)
+                    != jc["instance"].astype(np.int64))))
+
     eval_abs_rel = max(abs(tr["eval"]["d_abs_rel"] - jr["eval"]["d_abs_rel"])
                        for tr, jr in zip(torch_recs, jax_recs))
     conf_frac = max(
@@ -766,6 +993,7 @@ def run_variant(torch, tag, freeze_pose, num_frames, nsteps, with_mixup,
     return {
         "tag": tag,
         "rows": rows,
+        "composed_diffs": composed_diffs,
         "max_loss_rel": max_rel,
         "eval_abs_rel": eval_abs_rel,
         "conf_frac": conf_frac,
@@ -812,6 +1040,14 @@ def format_variant(res, strict):
     band = 2e-5 * total_steps
 
     ok = True
+    if res.get("composed_diffs"):
+        for s, d in res["composed_diffs"].items():
+            ok &= check(f"{s} composed rgb max |diff|", d["rgb_max"],
+                        1e-5)
+            ok &= check(f"{s} composed semantic mismatch frac",
+                        d["sem_frac"], 0.0)
+            ok &= check(f"{s} composed instance mismatch frac",
+                        d["inst_frac"], 0.0)
     ok &= check("max loss-term rel diff", res["max_loss_rel"], LOSS_RTOL)
     ok &= check("teacher eval d_abs_rel abs diff", res["eval_abs_rel"],
                 ABS_REL_ATOL)
@@ -837,7 +1073,8 @@ def format_variant(res, strict):
     return lines, ok
 
 
-def run(num_frames=3, out_md="PARITY_ADAPT.md", variants=("A", "B", "C")):
+def run(num_frames=3, out_md="PARITY_ADAPT.md",
+        variants=("A", "B", "C", "D")):
     install_reference_stubs()
     import torch
     torch.set_num_threads(max(os.cpu_count() or 1, 1))
@@ -860,6 +1097,20 @@ def run(num_frames=3, out_md="PARITY_ADAPT.md", variants=("A", "B", "C")):
                                     freeze_pose=True,
                                     num_frames=max(num_frames - 1, 1),
                                     nsteps=3, with_mixup=False), True))
+    if "D" in variants:
+        # All three mixup strategies through BOTH stacks (VERDICT r4 #4):
+        # torch runs its own Mixup.do_mixup (kornia oracle injected for
+        # the conf_instance distance transform); jax runs the production
+        # host path (plabel_prep + data/mixup.py). Strict bars, plus the
+        # composition-level table (composed rgb/semantic/instance per
+        # strategy). One sample per strategy: cut_mixup gets the online
+        # target, class/conf_instance the replay frames.
+        results.append((run_variant(
+            torch, "D all mixup strategies (host path)",
+            freeze_pose=True, num_frames=num_frames, nsteps=1,
+            with_mixup=True,
+            strategies=("cut_mixup", "class_mixup",
+                        "conf_instance_mixup")), True))
 
     lines = [
         "# PARITY_ADAPT — adaptation-step numeric parity vs the torch "
@@ -889,6 +1140,6 @@ def run(num_frames=3, out_md="PARITY_ADAPT.md", variants=("A", "B", "C")):
 
 if __name__ == "__main__":
     frames = int(os.environ.get("PARITY_ADAPT_FRAMES", "3"))
-    variants = tuple(os.environ.get("PARITY_ADAPT_VARIANTS", "ABC"))
+    variants = tuple(os.environ.get("PARITY_ADAPT_VARIANTS", "ABCD"))
     ok = run(num_frames=frames, variants=variants)
     sys.exit(0 if ok else 1)

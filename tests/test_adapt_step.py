@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from codeps_tpu.config import gen_config
 from codeps_tpu.models import build_modules, init_params
 from codeps_tpu.tasks import build_optimizer, make_adapt_state
+from codeps_tpu.tasks.mixup_prep import c2c_prewarp
 from codeps_tpu.tasks.adapt import (DIST_BUFFER_LEN, make_adapt_step,
                                     make_eval_step, make_gt_panoptic_step,
                                     make_plabel_step, update_ring_buffer)
@@ -235,10 +236,10 @@ def test_adapt_step_fused_mixup():
             0, NC, (num_mixup, HS, WS)).astype(np.int32)),
         "rgb_tgt": jnp.asarray(RNG.uniform(
             0, 1, (num_mixup, HT, WT, 3)).astype(np.float32)),
-        "intr_src": jnp.tile(jnp.asarray(
-            [[28.0, 28.0, WS / 2, HS / 2]], jnp.float32), (num_mixup, 1)),
-        "intr_tgt": jnp.tile(jnp.asarray(
-            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num_mixup, 1)),
+        "prewarp": jax.tree.map(jnp.asarray, c2c_prewarp(
+            np.tile([[30.0, 30.0, WT / 2, HT / 2]], (num_mixup, 1)),
+            np.tile([[28.0, 28.0, WS / 2, HS / 2]], (num_mixup, 1)),
+            (HT, WT), (HS, WS))),
         "cut_cells": jnp.asarray([[0, 5]], jnp.int32),
         "class_replace": jnp.asarray(replace),
     }
@@ -434,10 +435,10 @@ def test_sharded_adapt_step_published_config():
             0, NC, (num, HT, WT)).astype(np.int32)),
         "rgb_tgt": jnp.asarray(rng.uniform(
             0, 1, (num, HT, WT, 3)).astype(np.float32)),
-        "intr_src": jnp.tile(jnp.asarray(
-            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num, 1)),
-        "intr_tgt": jnp.tile(jnp.asarray(
-            [[30.0, 30.0, WT / 2, HT / 2]], jnp.float32), (num, 1)),
+        "prewarp": jax.tree.map(jnp.asarray, c2c_prewarp(
+            np.tile([[30.0, 30.0, WT / 2, HT / 2]], (num, 1)),
+            np.tile([[30.0, 30.0, WT / 2, HT / 2]], (num, 1)),
+            (HT, WT), (HT, WT))),
         "cut_cells": jnp.asarray(
             rng.integers(0, 8, (num, 2)).astype(np.int32)),
     }

@@ -95,13 +95,16 @@ def test_plabel_steps_thread_custom_normalization():
     np.testing.assert_allclose(np.asarray(off_u8), np.asarray(off_f),
                                atol=1e-4)
 
-    intr = jnp.asarray([[30.0, 30.0, 32.0, 16.0]] * 2, jnp.float32)
+    from codeps_tpu.tasks.mixup_prep import c2c_prewarp
+    intr = np.asarray([[30.0, 30.0, 32.0, 16.0]] * 2, np.float32)
+    warp = jax.tree.map(jnp.asarray,
+                        c2c_prewarp(intr, intr, (32, 64), (32, 64)))
     prep = make_plabel_prep_step(modules, (9, 10, 11, 12, 13), (32, 64),
                                  mean=custom_mean, std=custom_std)
     rgb_u8, sem_w_u8, inst_u8 = prep(params, stats, jnp.asarray(raw),
-                                     intr, intr)
+                                     warp)
     rgb_f, sem_w_f, inst_f = prep(params, stats, jnp.asarray(host_norm),
-                                  intr, intr)
+                                  warp)
     # returned rgb is in normalized space either way
     np.testing.assert_allclose(np.asarray(rgb_u8), np.asarray(rgb_f),
                                atol=1e-5)
