@@ -57,16 +57,21 @@ MIOU_TOL = 0.005     # same spirit for mIoU (fractional)
 # --------------------------------------------------------- torch encoder
 
 def build_torch_encoder(torch, num_layers=18, in_channels=3):
-    """torchvision-layout ResNet-18 trunk wrapped like the reference's
+    """torchvision-layout ResNet trunk wrapped like the reference's
     ResnetEncoder (models/resnet_encoder.py:82-126): state_dict keys are
     'encoder.conv1.weight', 'encoder.layer1.0.conv1.weight', ... so
     io/convert_pth.convert_resnet_encoder consumes it unchanged.
 
-    ``in_channels=6`` mirrors the num_input_images=2 pose/sflow variant
-    (resnet_multiimage_input, models/resnet_encoder.py:58-79)."""
+    ``num_layers`` 18 (BasicBlock) or 50/101 (Bottleneck, torchvision
+    expansion-4 layout — the reference's production depth/semantic
+    backbone, resnet_encoder.py:92-94); ``in_channels=6`` mirrors the
+    num_input_images=2 pose/sflow variant (resnet_multiimage_input,
+    models/resnet_encoder.py:58-79)."""
     import torch.nn as nn
 
     class BasicBlock(nn.Module):
+        expansion = 1
+
         def __init__(self, inplanes, planes, stride=1, downsample=None):
             super().__init__()
             self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1,
@@ -85,6 +90,34 @@ def build_torch_encoder(torch, num_layers=18, in_channels=3):
                 identity = self.downsample(x)
             return self.relu(out + identity)
 
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    block = {18: BasicBlock, 50: Bottleneck, 101: Bottleneck}[num_layers]
+    depths = {18: [2, 2, 2, 2], 50: [3, 4, 6, 3],
+              101: [3, 4, 23, 3]}[num_layers]
+
     class ResNetTrunk(nn.Module):
         def __init__(self):
             super().__init__()
@@ -93,18 +126,20 @@ def build_torch_encoder(torch, num_layers=18, in_channels=3):
             self.relu = nn.ReLU(inplace=True)
             self.maxpool = nn.MaxPool2d(3, 2, 1)
             inplanes = 64
-            for idx, (planes, stride) in enumerate(
-                    [(64, 1), (128, 2), (256, 2), (512, 2)]):
+            for idx, (planes, stride, count) in enumerate(
+                    zip([64, 128, 256, 512], [1, 2, 2, 2], depths)):
                 downsample = None
-                if stride != 1 or inplanes != planes:
+                out_ch = planes * block.expansion
+                if stride != 1 or inplanes != out_ch:
                     downsample = nn.Sequential(
-                        nn.Conv2d(inplanes, planes, 1, stride, bias=False),
-                        nn.BatchNorm2d(planes))
-                layer = nn.Sequential(
-                    BasicBlock(inplanes, planes, stride, downsample),
-                    BasicBlock(planes, planes))
-                setattr(self, f"layer{idx + 1}", layer)
-                inplanes = planes
+                        nn.Conv2d(inplanes, out_ch, 1, stride,
+                                  bias=False),
+                        nn.BatchNorm2d(out_ch))
+                blocks = [block(inplanes, planes, stride, downsample)]
+                blocks += [block(out_ch, planes)
+                           for _ in range(count - 1)]
+                setattr(self, f"layer{idx + 1}", nn.Sequential(*blocks))
+                inplanes = out_ch
 
     class RefEncoder(nn.Module):
         """Mirrors ResnetEncoder.forward (resnet_encoder.py:115-126)."""
@@ -124,7 +159,6 @@ def build_torch_encoder(torch, num_layers=18, in_channels=3):
             feats.append(self.encoder.layer4(feats[-1]))
             return feats
 
-    assert num_layers == 18, "parity harness uses the ResNet-18 trunk"
     return RefEncoder()
 
 
@@ -286,12 +320,23 @@ def jax_eval_frames(cfg, params, batch_stats, frames, thing_list,
 # ----------------------------------------------------------------- main
 
 def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
-        tree_root=None, pretrain_steps=0):
+        tree_root=None, pretrain_steps=0, num_layers=18,
+        save_via_reference=False, append=False):
     """``pretrain_steps>0`` briefly overfits the torch reference on the
     synthetic frames (supervised semantic/center/offset/depth) before
     the comparison, so PQ/mIoU compare non-trivial predictions instead
     of random-weight noise (the PQ matching machinery then runs on real
-    segment sets; with 0 the pixel-agreement guard carries the test)."""
+    segment sets; with 0 the pixel-agreement guard carries the test).
+
+    ``num_layers=101`` runs the PRODUCTION backbone (Bottleneck
+    ResNet-101, expansion-4 channel plan — the published configs'
+    po_depth_net). ``save_via_reference=True`` writes the checkpoint
+    through the reference's own ``io_utils.save_checkpoint``
+    (io_utils/io_utils.py:76-88: {config, state_dict, training_meta})
+    including the pose backbone/head, so ``io/convert_pth.py`` is
+    exercised against a reference-save-path production file.
+    ``append=True`` appends a section to ``out_md`` instead of
+    overwriting."""
     import torch
 
     from codeps_tpu.config import gen_config
@@ -312,7 +357,7 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
                               height=feed_size[0] * 2, seed=seed)
 
     cfg = gen_config(adapt=True, freeze=False)
-    cfg.model.po_depth_net.params.nof_layers = 18
+    cfg.model.po_depth_net.params.nof_layers = num_layers
     cfg.model.pose_sflow_net.params.nof_layers = 18
     cfg.dataset.name = "kitti_360"
     cfg.dataset.path = str(root)
@@ -329,8 +374,10 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
     ignore_classes = tuple(dataset.ignore_classes)
 
     # ---- torch reference model with seeded weights
-    encoder = build_torch_encoder(torch)
+    encoder = build_torch_encoder(torch, num_layers=num_layers)
     num_ch_enc = np.array([64, 64, 128, 256, 512])
+    if num_layers > 34:
+        num_ch_enc[1:] *= 4  # Bottleneck expansion (resnet_encoder.py:112)
     depth_head = load_ref_module("depth_head").DepthHead(num_ch_enc,
                                                          use_skips=True)
     semantic_head = load_ref_module("semantic_head").SemanticHead(
@@ -404,12 +451,50 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
             model.eval()
 
     ckpt_path = Path(tmp) / "parity_weights.pth"
-    torch.save({"state_dict": {
+    state_dict = {
         "backbone_po_depth": encoder.state_dict(),
         "depth_head": depth_head.state_dict(),
         "semantic_head": semantic_head.state_dict(),
         "instance_head": instance_head.state_dict(),
-    }}, str(ckpt_path))
+    }
+    if save_via_reference:
+        # Write through the reference's OWN save path
+        # (io_utils/io_utils.py:76-88: torch.save of {config: yaml,
+        # state_dict, training_meta}) with the full production module
+        # set including the pose trunk/head, so the converter ingests a
+        # file byte-layout-identical to what reference training writes.
+        import importlib.util as ilu
+        pa_spec = ilu.spec_from_file_location(
+            "parity_adapt_for_stubs",
+            str(Path(__file__).resolve().parent / "parity_adapt.py"))
+        pa_mod = ilu.module_from_spec(pa_spec)
+        pa_spec.loader.exec_module(pa_mod)
+        pa_mod.install_reference_stubs()
+        spec = ilu.spec_from_file_location(
+            "ref_io_utils", f"{REFERENCE}/io_utils/io_utils.py")
+        ref_io = ilu.module_from_spec(spec)
+        spec.loader.exec_module(ref_io)
+        pose_encoder = build_torch_encoder(torch, in_channels=6)
+        pose_head = load_ref_module("pose_head").PoseHead(
+            np.array([64, 64, 128, 256, 512]), num_input_features=1,
+            num_frames_to_predict_for=2)
+        randomize_bn_stats(torch, pose_encoder, seed + 3)
+        state_dict["backbone_pose_sflow"] = pose_encoder.state_dict()
+        state_dict["pose_head"] = pose_head.state_dict()
+
+        class _DumpableCfg:  # stands in for the yacs node's .dump()
+            @staticmethod
+            def dump():
+                return "parity_e2e reference-save-path fixture\n"
+
+        ref_io.save_checkpoint(str(ckpt_path), _DumpableCfg(), epoch=3,
+                               global_step=1234,
+                               model_state_dict=state_dict)
+        saved = torch.load(str(ckpt_path), map_location="cpu")
+        assert set(saved) == {"config", "state_dict", "training_meta"}, (
+            "reference save layout changed")
+    else:
+        torch.save({"state_dict": state_dict}, str(ckpt_path))
 
     torch_metrics, torch_preds = torch_eval_frames(
         torch, (encoder, depth_head, semantic_head, instance_head), frames,
@@ -451,12 +536,21 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
           and agreement["pan_pixel_agreement"] >= 0.995
           and agreement["depth_max_rel_diff"] <= 0.005)
 
+    title = ("# PARITY_E2E — end-to-end metric parity vs the PyTorch "
+             "reference" if not append else
+             f"## Model-scale round-trip: ResNet-{num_layers}"
+             + (", reference-save-path checkpoint"
+                if save_via_reference else ""))
     lines = [
-        "# PARITY_E2E — end-to-end metric parity vs the PyTorch reference",
+        title,
         "",
         f"Same {'synthetically pretrained (' + str(pretrain_steps) + ' torch steps)' if pretrain_steps else 'seeded'} "
-        f"weights (converted with `io/convert_pth.py`), same "
-        f"{len(frames)} synthetic KITTI-360 frames at "
+        f"ResNet-{num_layers} weights (converted with "
+        "`io/convert_pth.py`"
+        + (" from a checkpoint written by the reference's own "
+           "`io_utils.save_checkpoint`, io_utils/io_utils.py:76-88, "
+           "incl. pose trunk + head" if save_via_reference else "")
+        + f"), same {len(frames)} synthetic KITTI-360 frames at "
         f"{feed_size[0]}x{feed_size[1]}, both eval pipelines end-to-end "
         "(encoder -> heads -> panoptic fusion -> evaluators). "
         "Reference side: the reference's own head modules, panoptic "
@@ -497,9 +591,18 @@ def run(num_frames=6, feed_size=(64, 96), seed=7, out_md="PARITY_E2E.md",
         "",
         f"Verdict: {'PASS' if ok else 'FAIL'}",
         "",
-        "Reproduce: `python scripts/parity_e2e.py`",
+        "Reproduce: `python scripts/parity_e2e.py"
+        + (" --r101" if append else "") + "`",
     ]
-    Path(out_md).write_text("\n".join(lines) + "\n")
+    text = "\n".join(lines) + "\n"
+    if append and Path(out_md).exists():
+        prev = Path(out_md).read_text()
+        marker = lines[0]
+        if marker in prev:  # idempotent re-runs replace the section
+            prev = prev[:prev.index(marker)].rstrip() + "\n"
+        Path(out_md).write_text(prev + "\n" + text)
+    else:
+        Path(out_md).write_text(text)
     print("\n".join(lines))
     return ok, torch_metrics, jax_metrics, deltas
 
@@ -508,6 +611,20 @@ if __name__ == "__main__":
     # The artifact run pretrains the torch reference on the synthetic
     # frames so PQ/mIoU compare non-trivial predictions (VERDICT r2
     # weak #4); the CI wrapper keeps pretrain_steps=0 for speed.
+    if "--r101" in sys.argv:
+        # Model-scale round-trip (VERDICT r4 #5): production Bottleneck
+        # ResNet-101 + all heads, checkpoint written by the reference's
+        # own save path, converted, compared end-to-end. Appends a
+        # section to PARITY_E2E.md. Resolution via PARITY_E2E_R101_SIZE
+        # ("HxW", default 128x256 — the largest this 1-core host
+        # compiles in reasonable time; /32-divisible like production).
+        size = os.environ.get("PARITY_E2E_R101_SIZE", "128x256")
+        h, w = (int(v) for v in size.split("x"))
+        ok, *_ = run(num_frames=3, feed_size=(h, w), num_layers=101,
+                     save_via_reference=True, append=True,
+                     pretrain_steps=int(
+                         os.environ.get("PARITY_E2E_PRETRAIN", "0")))
+        sys.exit(0 if ok else 1)
     steps = int(os.environ.get("PARITY_E2E_PRETRAIN", "300"))
     ok, *_ = run(pretrain_steps=steps)
     sys.exit(0 if ok else 1)
