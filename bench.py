@@ -41,21 +41,70 @@ def _cache_entries() -> int:
     return len(list(cache_dir.glob("*"))) if cache_dir.exists() else 0
 
 
-def _flops_per_call(jitted, args) -> float | None:
+def _code_version() -> str:
+    """Content hash of the library tree (flops change only with code or
+    shapes; shapes live in the memo key)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(Path(__file__).resolve().parent),
+             "rev-parse", "HEAD:codeps_tpu"],
+            capture_output=True, timeout=10)
+        return out.stdout.decode().strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _flops_per_call(jitted, args, memo_key=None) -> float | None:
     """Model FLOPs of one call from XLA's HLO cost analysis of the
     lowered (pre-optimization) program — optimization fuses bytes away
     but does not change the matmul/conv FLOP count. Lowering re-traces
-    (seconds) but never re-compiles. Returns None where the lowering or
-    the analysis is unsupported (recorded as null, never faked)."""
+    (minutes for the full step on this 1-core host) but never
+    re-compiles; with ``memo_key`` the count is memoized to
+    .bench_flops.json keyed by (memo_key, codeps_tpu tree hash), so
+    repeat benches of unchanged code skip the retrace. Returns None
+    where the lowering or the analysis is unsupported (recorded as
+    null, never faked)."""
+    memo_path = Path(__file__).resolve().parent / ".bench_flops.json"
+    full_key = None
+    if memo_key:
+        full_key = f"{memo_key}|{_code_version()}"
+        try:
+            memo = json.loads(memo_path.read_text())
+            if full_key in memo:
+                return memo[full_key]
+        except Exception:
+            pass
     try:
         import jax
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), args)
-        cost = jitted.lower(*abstract).cost_analysis()
+        lowered = jitted.lower(*abstract)
+        cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        if not isinstance(cost, dict):
+            # The axon relay backend returns None from cost_analysis();
+            # the FLOP count of the unoptimized HLO is backend-agnostic,
+            # so run the analysis against the in-process CPU client.
+            import jax.extend as jex
+            from jaxlib import _jax
+            cost = _jax.hlo_module_cost_analysis(
+                jex.backend.get_backend("cpu"),
+                lowered.compiler_ir("hlo").as_hlo_module())
         flops = float(cost.get("flops", 0.0))
-        return flops if flops > 0 else None
+        if flops <= 0:
+            return None
+        if full_key:
+            try:
+                memo = {}
+                if memo_path.exists():
+                    memo = json.loads(memo_path.read_text())
+                memo[full_key] = flops
+                memo_path.write_text(json.dumps(memo, indent=1))
+            except Exception:
+                pass
+        return flops
     except Exception:
         return None
 
@@ -203,8 +252,10 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
                                     compile_key="train_step")
 
     images_per_sec = num_steps * batch_size / elapsed
-    mfu = _mfu_fields(_flops_per_call(step, (state_box[0], batch)),
-                      elapsed / num_steps)
+    mfu = _mfu_fields(
+        _flops_per_call(step, (state_box[0], batch),
+                        memo_key=f"train@{height}x{width}@b{batch_size}"),
+        elapsed / num_steps)
     return {
         "metric": "pretrain_images_per_sec",
         "value": round(images_per_sec, 3),
@@ -260,7 +311,8 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
     images_per_sec = num_steps * batch_size / elapsed
     mfu = _mfu_fields(
         _flops_per_call(jax.jit(lambda img: net(img, mode="eval")),
-                        (image,)),
+                        (image,),
+                        memo_key=f"infer@{height}x{width}@b{batch_size}"),
         elapsed / num_steps)
     return {
         "metric": "infer_images_per_sec",
@@ -582,6 +634,17 @@ def _run_mode(mode):
         },
     }
 
+    if os.environ.get("BENCH_FLOPS_ONLY"):
+        # Trace-only: report the step's HLO FLOP count without touching
+        # the device (backfills MFU for SCALING.json's measured points —
+        # the count is shape-determined, so CPU lowering suffices).
+        return {"metric": "adapt_step_flops", "mode": mode,
+                "hscale": hscale,
+                "value": _flops_per_call(
+                    step, (state, batch),
+                    memo_key=f"step@{ht}x{wt}+{hs}x{ws}"),
+                "unit": "flops/step"}
+
     if mode == "loop":
         # Full per-frame adaptation loop: teacher eval + one adapt step
         # + buffer-add features. Fused strategies compose in-jit (the
@@ -772,8 +835,12 @@ def _run_mode(mode):
         "vs_baseline": round(steps_per_sec / _baseline_for_devices(), 3),
     }
     flops_args = (state_box[0], loop_batch if mode == "loop" else batch)
-    record.update(_mfu_fields(_flops_per_call(step, flops_args),
-                              elapsed / num_steps))
+    flops_key = (f"{mode}@{ht}x{wt}+{hs}x{ws}"
+                 + (f"@{','.join(loop_strategies)}" if mode == "loop"
+                    else ""))
+    record.update(_mfu_fields(
+        _flops_per_call(step, flops_args, memo_key=flops_key),
+        elapsed / num_steps))
     return record
 
 
@@ -957,7 +1024,10 @@ def main():
         "mesh — dryrun_multichip + "
         "test_adapt_step.py::test_sharded_adapt_step_over_mesh)")
     extra = {}
-    for extra_mode in ("loop", "train", "infer"):
+    # infer before train: its compile is the cheapest and its number is
+    # a headline (panoptic serving path); train is the one to drop when
+    # the relay's compile variance eats BENCH_BUDGET.
+    for extra_mode in ("loop", "infer", "train"):
         if time.perf_counter() - start > budget:
             extra[extra_mode] = {"skipped": "BENCH_BUDGET exceeded"}
             continue

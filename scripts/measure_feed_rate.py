@@ -103,7 +103,8 @@ def main() -> None:
     if args.frames is None:
         # One epoch must cover warmup + timed batches for every worker
         # setting (epoch boundaries re-fork the pool mid-measurement).
-        max_warmup = max(args.workers) + 2 + 1  # prefetch default 2
+        max_warmup = max(args.workers + (args.sleep_sweep or [])) \
+            + 2 + 1  # prefetch default 2
         args.frames = args.batch * (max_warmup + args.batches + 1)
 
     from codeps_tpu.config import get_cfg_defaults

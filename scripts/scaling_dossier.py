@@ -45,7 +45,6 @@ V5E_ICI_GBPS = 186e9  # one v5e ring direction, B/s
 
 
 def main():
-    import jax
     import numpy as np
 
     from __graft_entry__ import _force_cpu_mesh, build_adapt_program
@@ -56,40 +55,59 @@ def main():
     from jax.sharding import Mesh
     mesh = Mesh(np.asarray(devices), ("data",))
 
-    ht, wt = 32, 64
-    step, state, batch = build_adapt_program(mesh, n_devices, ht=ht, wt=wt)
-    print(f"lowering+compiling full adapt step on {n_devices}-dev mesh "
-          f"(probe {ht}x{wt})...", flush=True)
-    compiled = step.lower(state, batch).compile()
-    counts, byte_totals = collective_inventory(compiled.as_text())
-    total_bytes = sum(byte_totals.values())
+    # Compile at the EXACT production shapes and read the collective
+    # bytes straight from the optimized HLO — no extrapolation. (Tiny
+    # probes are NOT representative: at 32x64/8 devices each chip holds
+    # 4 rows, and GSPMD picks different partitioning strategies than at
+    # the production 48-64 rows/chip — measured exponent fits went
+    # superlinear on strategy changes, not physics. XLA compile time is
+    # op-count-bound, not shape-bound, so the full-shape compile costs
+    # about the same as the probe did.) A half-production compile
+    # sanity-checks that the production reading sits on a stable curve.
+    shapes = {
+        "half": (PROD_HT // 2, PROD_WT // 2, PROD_HS // 2, PROD_WS // 2),
+        "prod": (PROD_HT, PROD_WT, PROD_HS, PROD_WS),
+    }
+    readings = {}
+    for name, (ht, wt, hs, ws) in shapes.items():
+        step, state, batch = build_adapt_program(mesh, n_devices,
+                                                 ht=ht, wt=wt,
+                                                 hs=hs, ws=ws)
+        print(f"lowering+compiling full adapt step on {n_devices}-dev "
+              f"mesh ({name}: {ht}x{wt} / {hs}x{ws})...", flush=True)
+        compiled = step.lower(state, batch).compile()
+        counts, byte_totals = collective_inventory(compiled.as_text())
+        readings[name] = (dict(counts), dict(byte_totals))
+        del step, state, batch, compiled
 
-    # Byte scaling probe -> production: collective payloads are
-    # image-proportional (halo rows, warp gathers, resize exchanges all
-    # scale with H*W). Target-domain tensors scale by the target ratio,
-    # source-domain by the source ratio; the inventory does not separate
-    # them, so use the CONSERVATIVE (larger) of the two ratios.
-    scale_t = (PROD_HT * PROD_WT) / (ht * wt)
-    scale_s = (PROD_HS * PROD_WS) / (ht * wt)
-    scale = max(scale_t, scale_s)
-    est_bytes = total_bytes * scale
-    comm_ms = est_bytes / V5E_ICI_GBPS * 1e3
+    prod_counts, prod_bytes = readings["prod"]
+    _, half_bytes = readings["half"]
+    total_bytes = sum(prod_bytes.values())
+    comm_ms = total_bytes / V5E_ICI_GBPS * 1e3
+
+    collectives = {}
+    for op in sorted(prod_bytes):
+        b_half = half_bytes.get(op, 0)
+        collectives[op] = {
+            "count": prod_counts.get(op, 0),
+            "bytes_half": b_half,
+            "bytes_prod": prod_bytes[op],
+            "growth_half_to_prod": (round(prod_bytes[op] / b_half, 2)
+                                    if b_half else None),
+        }
 
     record = {
-        "probe_shape": [ht, wt],
+        "shapes": {k: list(v) for k, v in shapes.items()},
         "devices": n_devices,
         "layout": "hybrid sp+dp (parallel/spatial.py)",
-        "collectives": {op: {"count": counts[op],
-                             "bytes_probe": byte_totals[op]}
-                        for op in sorted(counts)},
-        "total_bytes_probe": total_bytes,
-        "byte_scale_to_prod": round(scale, 1),
-        "est_bytes_prod": int(est_bytes),
+        "collectives": collectives,
+        "total_bytes_prod": total_bytes,
         "ici_gbps": V5E_ICI_GBPS / 1e9,
         "comm_ms_upper_bound": round(comm_ms, 2),
-        "note": "serialized upper bound: assumes zero overlap with "
-                "compute and the larger of target/source pixel ratios "
-                "for every collective",
+        "note": "serialized upper bound (zero compute overlap) read "
+                "DIRECTLY from the production-shape 8-device sharded "
+                "HLO; bytes_half shows the same reading at half shapes "
+                "(growth ~4x pixel-proportional, ~2x halo classes)",
     }
     out = REPO / "SCALING_COMM.json"
     out.write_text(json.dumps(record, indent=1))
