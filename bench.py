@@ -135,6 +135,31 @@ def _baseline_for_devices() -> float:
 
 
 LAST_COMPILE_SECONDS = {}
+LAST_AOT = {}
+
+
+def _maybe_aot(jitted, args, tag, compile_key):
+    """Swap a jitted function for an AOT-store-backed executable.
+
+    The axon relay defeats jax's persistent compilation cache (the
+    cache entry is written and found, yet the backend recompiles
+    remotely: 221.6 s cold vs 1246.2 s "warm", round-5 measurement), so
+    warm starts go through `codeps_tpu.io.aot_cache` instead:
+    serialized executables keyed by code version + shapes + backend.
+    BENCH_AOT=0 disables (true cold-compile measurement). The first
+    call's wall time lands in LAST_COMPILE_SECONDS either way; LAST_AOT
+    records hit/miss so the artifact says which kind of number it is.
+    """
+    if os.environ.get("BENCH_AOT", "1") == "0":
+        LAST_AOT[compile_key] = "off"
+        return jitted
+    from codeps_tpu.io.aot_cache import load_or_compile
+    info = {}
+    compiled = load_or_compile(jitted, args, tag,
+                               extra_files=("bench.py",), info=info)
+    LAST_COMPILE_SECONDS[compile_key] = info.get("seconds")
+    LAST_AOT[compile_key] = info.get("aot", "off")
+    return compiled
 
 
 def _differential_elapsed(timed, num_steps, warmup=3, profile=False,
@@ -152,9 +177,11 @@ def _differential_elapsed(timed, num_steps, warmup=3, profile=False,
     bench artifact carries a compile-time series (regression guard —
     the r03 dryrun died of an unnoticed compile blowup).
     """
-    t_first = timed(1)  # compile + 1 step
+    t_first = timed(1)  # compile + 1 step (or just 1 step under AOT)
     if compile_key:
-        LAST_COMPILE_SECONDS[compile_key] = round(t_first, 1)
+        # an AOT load already recorded its own (deserialize or compile)
+        # seconds under this key — keep that, it is the honest number
+        LAST_COMPILE_SECONDS.setdefault(compile_key, round(t_first, 1))
     if warmup > 1:
         timed(warmup - 1)  # post-compile warmup
     profile_dir = os.environ.get("BENCH_PROFILE") if profile else None
@@ -236,6 +263,11 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
                        rng=jax.random.PRNGKey(0))
     step = make_train_step(modules, cfg, tx,
                            class_weights=[1.0] * num_classes, donate=True)
+    jit_step = step
+    step = _maybe_aot(step, (state, batch),
+                      f"train_step@{height}x{width}@b{batch_size}"
+                      f"@remat{remat_env}@s2d{int(cfg.tpu.s2d_conv1)}",
+                      "train_step")
 
     state_box = [state]
 
@@ -253,7 +285,7 @@ def _bench_train(cfg, num_classes, num_steps, height, width):
 
     images_per_sec = num_steps * batch_size / elapsed
     mfu = _mfu_fields(
-        _flops_per_call(step, (state_box[0], batch),
+        _flops_per_call(jit_step, (state_box[0], batch),
                         memo_key=f"train@{height}x{width}@b{batch_size}"),
         elapsed / num_steps)
     return {
@@ -297,10 +329,15 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
     image = jnp.asarray(rng.uniform(
         0, 1, (batch_size, height, width, 3)).astype(np.float32))
 
+    infer_jit = jax.jit(lambda img: net(img, mode="eval"))
+    infer = _maybe_aot(infer_jit, (image,),
+                       f"infer@{height}x{width}@b{batch_size}",
+                       "infer_step")
+
     def timed(n):
         start = time.perf_counter()
         for _ in range(n):
-            out = net(image, mode="eval")
+            out = infer(image)
         # Force the chain: small device-side reduce, scalar fetch.
         float(jnp.sum(out["panoptic"]) + jnp.sum(out["depth"][0]))
         return time.perf_counter() - start
@@ -310,8 +347,7 @@ def _bench_infer(cfg, num_classes, num_steps, height, width):
 
     images_per_sec = num_steps * batch_size / elapsed
     mfu = _mfu_fields(
-        _flops_per_call(jax.jit(lambda img: net(img, mode="eval")),
-                        (image,),
+        _flops_per_call(infer_jit, (image,),
                         memo_key=f"infer@{height}x{width}@b{batch_size}"),
         elapsed / num_steps)
     return {
@@ -792,6 +828,12 @@ def _run_mode(mode):
             pending_add[0] = (features, frame_idx)
             return state, metrics
 
+        jit_step = step
+        step = _maybe_aot(step, (state, loop_batch),
+                          f"adapt_loop@{ht}x{wt}+{hs}x{ws}"
+                          f"@{','.join(loop_strategies)}"
+                          f"@fused{int(loop_fused)}@r{backbone}",
+                          "adapt_step_loop")
         state_box = [state]
         frame_counter = [0]  # monotonic: distinct sim-index ids per frame
 
@@ -810,6 +852,12 @@ def _run_mode(mode):
                                         compile_key="adapt_step_loop")
         metric_name = "adapt_frames_per_sec"
     else:
+        jit_step = step
+        step = _maybe_aot(step, (state, batch),
+                          f"adapt_step@{ht}x{wt}+{hs}x{ws}"
+                          f"@src{num_source}rep{num_replay}"
+                          f"mix{num_mixup}@r{backbone}",
+                          "adapt_step")
         state_box = [state]
 
         def timed_steps(n):
@@ -839,7 +887,7 @@ def _run_mode(mode):
                  + (f"@{','.join(loop_strategies)}" if mode == "loop"
                     else ""))
     record.update(_mfu_fields(
-        _flops_per_call(step, flops_args, memo_key=flops_key),
+        _flops_per_call(jit_step, flops_args, memo_key=flops_key),
         elapsed / num_steps))
     return record
 
@@ -893,8 +941,9 @@ def _bench_scaling(num_steps):
                 "max_residual_ms": round(fit_residual_ms, 2)},
         "per_chip_shard_ms": round(float(shard_ms), 2),
         "comm_ms": comm_ms,
-        "comm_source": "BENCH_MODE=spatial collective inventory of the "
-                       "8-device sharded executable (SPATIAL_SHARD.md)",
+        "comm_source": "scripts/scaling_dossier.py direct collective "
+                       "inventory of the production-shape 8-device "
+                       "sharded HLO (SCALING_COMM.json)",
         "compile_seconds": dict(LAST_COMPILE_SECONDS),
         "note": "t(s)=a*s+b fit over real-chip measurements at height "
                 "scales 1, 1/2, 1/4; per-chip v5e-8 shard = t(1/8) + "
@@ -1003,6 +1052,8 @@ def main():
         record = _run_mode(mode)
         if LAST_COMPILE_SECONDS:
             record["compile_seconds"] = dict(LAST_COMPILE_SECONDS)
+        if LAST_AOT:
+            record["aot"] = dict(LAST_AOT)
         record["compile_cache"] = cache_fields()
         print(json.dumps(record))
         return
@@ -1069,6 +1120,9 @@ def main():
     # the per-round compile-time series that would have caught the r03
     # dryrun blowup before the driver gate did.
     record["compile_seconds"] = dict(LAST_COMPILE_SECONDS)
+    if LAST_AOT:
+        # which compile_seconds are AOT-store loads vs real compiles
+        record["aot"] = dict(LAST_AOT)
     record["compile_cache"] = cache_fields()
     print(json.dumps(record))
 

@@ -1,9 +1,10 @@
-"""Fold the measured-exponent collective bound into SCALING.json.
+"""Fold the measured collective bound into SCALING.json.
 
 `BENCH_MODE=scaling` runs on the real chip with whatever BENCH_COMM_MS
 the caller had at the time; `scripts/scaling_dossier.py` (CPU mesh,
-multi-probe exponent fit) can be refined afterwards without re-spending
-TPU time — the projection is t(1/8) + comm, and only comm changes.
+direct collective inventory of the production-shape 8-device sharded
+HLO) can be refined afterwards without re-spending TPU time — the
+projection is t(1/8) + comm, and only comm changes.
 This script recomputes SCALING.json's projected value from the current
 SCALING_COMM.json and records both comm bounds for the error budget.
 
@@ -33,10 +34,10 @@ def main():
         "value": round(projected, 3),
         "vs_baseline": round(projected / 25.0, 3),
         "comm_ms": round(comm_ms, 2),
-        "comm_source": "scripts/scaling_dossier.py multi-probe exponent "
-                       "fit (SCALING_COMM.json): per-op bytes = "
-                       "c*H^a*W^b measured from H- and W-doubled "
-                       "probes, serialized at 186 GB/s ICI",
+        "comm_source": "scripts/scaling_dossier.py direct collective "
+                       "inventory of the production-shape 8-device "
+                       "sharded HLO (SCALING_COMM.json), serialized at "
+                       "186 GB/s ICI",
         "comm_prior_uniform_bound": prior,
     })
     (REPO / "SCALING.json").write_text(json.dumps(scaling, indent=1))
