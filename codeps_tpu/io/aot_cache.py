@@ -103,8 +103,16 @@ def load_or_compile(jitted, args, tag: str,
         t0 = time.time()
         try:
             with open(path, "rb") as fh:
-                payload, in_tree, out_tree = pickle.load(fh)
-            compiled = deserialize_and_load(payload, in_tree, out_tree)
+                payload, in_tree, out_tree, device_ids = pickle.load(fh)
+            # deserialize_and_load defaults execution_devices to ALL
+            # backend devices — wrong for an executable compiled on a
+            # subset (e.g. a 1-device jit on the 8-device CPU mesh, which
+            # then demands 8 input shards). Reload onto the devices the
+            # executable was compiled for, matched by id.
+            by_id = {d.id: d for d in __import__("jax").devices()}
+            devs = [by_id[i] for i in device_ids]
+            compiled = deserialize_and_load(payload, in_tree, out_tree,
+                                            execution_devices=devs)
             if info is not None:
                 info.update(aot="hit", key=key,
                             seconds=round(time.time() - t0, 1))
@@ -116,11 +124,23 @@ def load_or_compile(jitted, args, tag: str,
     compiled = jitted.lower(*args).compile()
     compile_s = time.time() - t0
     try:
+        import jax
         payload, in_tree, out_tree = serialize(compiled)
+        # Ordered device assignment of THIS executable (not the whole
+        # backend) — needed at load time, see the hit path above.
+        try:
+            devs = compiled._executable.xla_executable.local_devices()
+        except Exception:
+            try:
+                sh = jax.tree_util.tree_leaves(compiled.input_shardings)[0]
+                devs = list(sh._device_assignment)
+            except Exception:
+                devs = jax.devices()
+        device_ids = [d.id for d in devs]
         cache_dir.mkdir(parents=True, exist_ok=True)
         tmp = path.with_suffix(".tmp")
         with open(tmp, "wb") as fh:
-            pickle.dump((payload, in_tree, out_tree), fh)
+            pickle.dump((payload, in_tree, out_tree, device_ids), fh)
         tmp.replace(path)
         meta_path.write_text(json.dumps(
             {"tag": tag, "key_src": key_src.split("\n"),
